@@ -1,0 +1,81 @@
+"""Benchmark: coalescence moment-updates/s per chip.
+
+Runs the flagship analytical-coalescence RHS (closure inversion + Simpson/
+incomplete-gamma autoconversion integrals + fused Q/R/S bilinear form) over a
+large batch of independent columns on one chip and reports throughput as
+moment-updates/s (columns/s x prognostic moments per column).
+
+`vs_baseline` contextualizes against the reference's single-CPU-core budget:
+Cloudy.jl publishes no throughput numbers (BASELINE.md); its CI enforces
+~27 us per `moment_source_helper` call (performance_tests.jl:83-89) and the
+exp+gamma `get_coal_ints` performs 6 such integrals plus the Q/R/S sums
+=> ~170 us/column => ~2.9e4 moment-updates/s on one CPU core. That figure is
+the denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MOMENT_UPDATES_PER_S = 2.94e4  # see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cloudy_tpu.spec import Family, SpectrumSpec
+    from cloudy_tpu import kernels as K
+    from cloudy_tpu import distributions as pdists
+    from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints
+
+    dtype = jnp.float32
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=32
+    )
+
+    B = int(os.environ.get("BENCH_COLUMNS", 262144))
+    rng = np.random.default_rng(0)
+    mom_norms = np.concatenate([1e6 * 1e-9 ** np.arange(3)] * 2)
+    base = np.array([1e8, 1e-2, 2e-12, 1.0, 1e-8, 2e-16]) / mom_norms
+    mom = jnp.asarray(
+        base[None, :] * rng.uniform(0.5, 2.0, (B, 6)), dtype
+    )
+
+    @jax.jit
+    def rhs(m):
+        return get_coal_ints(data, pdists.params_from_moments(spec, m))
+
+    out = rhs(mom)
+    out.block_until_ready()  # compile + warm
+
+    n_iter = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = rhs(mom)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    updates_per_s = B * spec.n_tot / dt
+    print(
+        json.dumps(
+            {
+                "metric": "coalescence_moment_updates_per_s_per_chip",
+                "value": float(updates_per_s),
+                "unit": "moment-updates/s",
+                "vs_baseline": float(updates_per_s / REFERENCE_MOMENT_UPDATES_PER_S),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,555 @@
+"""Particle mass distributions: the moment closure (reference layer L2).
+
+TPU-native redesign of the reference's ParticleDistributions module
+(src/ParticleDistributions/ParticleDistributions.jl): instead of per-mode
+immutable structs dispatched at runtime, a spectrum is a *static*
+`SpectrumSpec` (family per mode) plus a dense parameter array
+
+    params : f[..., n_modes, 3]
+
+whose columns mean (n, θ, k) for gamma, (n, θ, ·) for exponential /
+monodisperse and (n, μ, σ) for lognormal. All functions are pure jnp, vmap-
+and shard_map-compatible over arbitrary leading batch axes, and branch-free
+(`jnp.where` replaces the reference's runtime error branches and degenerate-
+moment fallbacks) so a single XLA program covers 1 → 10^6 columns.
+
+Families and closed forms implemented (reference lines cited per function):
+exponential, gamma, lognormal, monodisperse.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from cloudy_tpu.spec import Family, SpectrumSpec
+from cloudy_tpu.ops import special
+from cloudy_tpu.ops.simpson import (
+    simpson_even_fast_weights_dynamic,
+    integrate_simpson_even_fast,
+)
+
+# Default shape-parameter clipping range for the gamma closure inversion
+# (reference param_range, src/ParticleDistributions/ParticleDistributions.jl:459).
+GAMMA_K_RANGE = (None, 10.0)  # (eps(dtype), 10.0)
+
+
+def _eps(dtype):
+    return jnp.finfo(dtype).eps
+
+
+def nparams(family: Family) -> int:
+    """Number of settable parameters (reference `nparams`,
+    src/ParticleDistributions/ParticleDistributions.jl:425-427)."""
+    from cloudy_tpu.spec import NPROG
+
+    return NPROG[Family(family)]
+
+
+# --------------------------------------------------------------------------
+# closure inversion: moments -> parameters
+# --------------------------------------------------------------------------
+
+
+def _invert_exponential(m):
+    """(M0, M1) -> (n, θ): n = M0, θ = M1/M0, zero-dist fallback for
+    degenerate moments (reference :512-523)."""
+    m0, m1 = m[..., 0], m[..., 1]
+    eps = _eps(m0.dtype)
+    valid = (m0 > eps) & (m1 > eps)
+    m0s = jnp.where(valid, m0, 1.0)
+    m1s = jnp.where(valid, m1, 1.0)
+    n = jnp.where(valid, m0, 0.0)
+    theta = jnp.where(valid, m1s / m0s, 1.0)
+    return jnp.stack([n, theta, jnp.zeros_like(n)], axis=-1)
+
+
+def _invert_monodisperse(m):
+    """Same algebra as exponential (reference :530-541)."""
+    return _invert_exponential(m)
+
+
+def _invert_gamma(m, k_range=GAMMA_K_RANGE):
+    """(M0, M1, M2) -> (n, θ, k) with k = (M1/M0)/(M2/M1 − M1/M0) clipped to
+    `k_range` and θ = (M1/M0)/k (reference :456-476)."""
+    m0, m1, m2 = m[..., 0], m[..., 1], m[..., 2]
+    eps = _eps(m0.dtype)
+    k_lo = eps if k_range[0] is None else k_range[0]
+    k_hi = np.inf if k_range[1] is None else k_range[1]
+    valid = (m0 > eps) & (m1 > eps)
+    m0s = jnp.where(valid, m0, 1.0)
+    m1s = jnp.where(valid, m1, 1.0)
+    m2s = jnp.where(valid, m2, 2.0)
+    mean = m1s / m0s
+    denom = m2s / m1s - mean
+    # guard division by ~0 (ill-conditioned second moment); clip catches it
+    denom = jnp.where(jnp.abs(denom) > 0, denom, eps)
+    k = jnp.clip(mean / denom, k_lo, k_hi)
+    theta = mean / k
+    n = jnp.where(valid, m0, 0.0)
+    theta = jnp.where(valid, theta, 1.0)
+    k = jnp.where(valid, k, 1.0)
+    return jnp.stack([n, theta, k], axis=-1)
+
+
+def _invert_lognormal(m):
+    """(M0, M1, M2) -> (n, μ, σ): μ = log(M1²/(M0^{3/2} M2^{1/2})),
+    σ = sqrt(log(M0 M2/M1²)), n = M1/exp(μ + σ²/2) (reference :479-505)."""
+    m0, m1, m2 = m[..., 0], m[..., 1], m[..., 2]
+    eps = _eps(m0.dtype)
+    valid = (m0 > eps) & (m1 > eps) & (m2 > eps)
+    m0s = jnp.where(valid, m0, 1.0)
+    m1s = jnp.where(valid, m1, 1.0)
+    m2s = jnp.where(valid, m2, 2.0)
+    mu = jnp.log(m1s**2 / (m0s**1.5 * m2s**0.5))
+    sig2 = jnp.log(jnp.maximum(m0s * m2s / m1s**2, 1.0))
+    sigma = jnp.maximum(jnp.sqrt(sig2), eps)
+    n = m1s / jnp.exp(mu + 0.5 * sigma**2)
+    n = jnp.where(valid, n, 0.0)
+    mu = jnp.where(valid, mu, 1.0)
+    sigma = jnp.where(valid, sigma, 1.0)
+    return jnp.stack([n, mu, sigma], axis=-1)
+
+
+_INVERTERS = {
+    Family.EXPONENTIAL: _invert_exponential,
+    Family.GAMMA: _invert_gamma,
+    Family.LOGNORMAL: _invert_lognormal,
+    Family.MONODISPERSE: _invert_monodisperse,
+}
+
+
+def params_from_moments(spec: SpectrumSpec, mom_flat) -> jnp.ndarray:
+    """Closure inversion: flat prognostic moments ``[..., n_tot]`` ->
+    parameters ``[..., n_modes, 3]``.
+
+    The per-step hot path of the reference (`update_dist_from_moments`,
+    src/ParticleDistributions/ParticleDistributions.jl:456-541), fused over
+    all modes with static slicing.
+    """
+    mom_flat = jnp.asarray(mom_flat)
+    parts = []
+    for i, fam in enumerate(spec.families):
+        o, n = spec.offsets[i], spec.nprogmoms[i]
+        parts.append(_INVERTERS[fam](mom_flat[..., o : o + n]))
+    return jnp.stack(parts, axis=-2)
+
+
+def get_moments(spec: SpectrumSpec, params) -> jnp.ndarray:
+    """Parameters -> flat prognostic moments ``[..., n_tot]``: the inverse of
+    `params_from_moments` (reference `get_moments`,
+    src/ParticleDistributions/ParticleDistributions.jl:293-315)."""
+    params = jnp.asarray(params)
+    out = []
+    for i, fam in enumerate(spec.families):
+        n, p1, p2 = (params[..., i, j] for j in range(3))
+        if fam == Family.EXPONENTIAL or fam == Family.MONODISPERSE:
+            out.extend([n, n * p1])
+        elif fam == Family.GAMMA:
+            out.extend([n, n * p2 * p1, n * p2 * (p2 + 1.0) * p1**2])
+        elif fam == Family.LOGNORMAL:
+            out.extend(
+                [
+                    n,
+                    n * jnp.exp(p1 + 0.5 * p2**2),
+                    n * jnp.exp(2.0 * p1 + 2.0 * p2**2),
+                ]
+            )
+    return jnp.stack(out, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# analytic moments
+# --------------------------------------------------------------------------
+
+
+def _integer_moments_one_mode(fam: Family, n, p1, p2, n_cols: int):
+    """Moments of integer orders 0..n_cols-1 by stable multiplicative
+    recurrence (no lgamma needed): returns [..., n_cols].
+
+    exp:   M_{o+1} = M_o θ (o+1)        (M_o = n θ^o o!)
+    gamma: M_{o+1} = M_o θ (k+o)        (M_o = n θ^o Γ(o+k)/Γ(k))
+    mono:  M_{o+1} = M_o θ
+    logn:  M_{o+1} = M_o e^{μ + (2o+1)σ²/2}
+    (closed forms: reference moment_func,
+    src/ParticleDistributions/ParticleDistributions.jl:177-207)
+    """
+    cols = [n]
+    m = n
+    for o in range(n_cols - 1):
+        if fam == Family.EXPONENTIAL:
+            m = m * p1 * (o + 1.0)
+        elif fam == Family.GAMMA:
+            m = m * p1 * (p2 + o)
+        elif fam == Family.MONODISPERSE:
+            m = m * p1
+        elif fam == Family.LOGNORMAL:
+            m = m * jnp.exp(p1 + (2.0 * o + 1.0) * 0.5 * p2**2)
+        cols.append(m)
+    return jnp.stack(cols, axis=-1)
+
+
+def moments_matrix(spec: SpectrumSpec, params, n_cols: int) -> jnp.ndarray:
+    """Dense diagnostic moment matrix ``[..., n_modes, n_cols]`` with entry
+    (i, o) = o-th moment of mode i — reference `get_moments_matrix`
+    (src/Sources/Coalescence.jl:187-198), without the beyond-N_mom_max
+    zeroing (provably never read by the assembly; see coalescence.py)."""
+    params = jnp.asarray(params)
+    rows = []
+    for i, fam in enumerate(spec.families):
+        rows.append(
+            _integer_moments_one_mode(
+                fam,
+                params[..., i, 0],
+                params[..., i, 1],
+                params[..., i, 2],
+                n_cols,
+            )
+        )
+    return jnp.stack(rows, axis=-2)
+
+
+def moment(spec: SpectrumSpec, params, q) -> jnp.ndarray:
+    """Real-order (fractional) q-th moment per mode: ``[..., n_modes]``.
+
+    Closed forms (reference `moment_func`,
+    src/ParticleDistributions/ParticleDistributions.jl:177-218):
+    exp n θ^q Γ(q+1); gamma n θ^q Γ(q+k)/Γ(k); mono n θ^q;
+    lognormal n exp(qμ + q²σ²/2).
+    """
+    params = jnp.asarray(params)
+    q = jnp.asarray(q, dtype=params.dtype)
+    out = []
+    for i, fam in enumerate(spec.families):
+        n, p1, p2 = (params[..., i, j] for j in range(3))
+        if fam == Family.EXPONENTIAL:
+            m = n * p1**q * jnp.exp(special.lgamma(q + 1.0))
+        elif fam == Family.GAMMA:
+            m = n * p1**q * jnp.exp(special.lgamma(q + p2) - special.lgamma(p2))
+        elif fam == Family.MONODISPERSE:
+            m = n * p1**q
+        elif fam == Family.LOGNORMAL:
+            m = n * jnp.exp(q * p1 + 0.5 * q**2 * p2**2)
+        out.append(m)
+    return jnp.stack(out, axis=-1)
+
+
+def partial_moment(spec: SpectrumSpec, params, q, x_threshold) -> jnp.ndarray:
+    """q-th moment truncated at ``x_threshold``: ``[..., n_modes]``.
+
+    Reference `partial_moment_func`
+    (src/ParticleDistributions/ParticleDistributions.jl:226-285). The
+    lognormal case uses the *exact* closed form
+    n exp(qμ + q²σ²/2) Φ((ln T − μ − qσ²)/σ) instead of the reference's
+    adaptive quadrature (same integral, analytic).
+    """
+    params = jnp.asarray(params)
+    q = jnp.asarray(q, dtype=params.dtype)
+    t = jnp.asarray(x_threshold, dtype=params.dtype)
+    out = []
+    for i, fam in enumerate(spec.families):
+        n, p1, p2 = (params[..., i, j] for j in range(3))
+        if fam == Family.EXPONENTIAL:
+            m = (
+                n
+                * p1**q
+                * special.gammainc(q + 1.0, t / p1)
+                * jnp.exp(special.lgamma(q + 1.0))
+            )
+        elif fam == Family.GAMMA:
+            m = (
+                n
+                * p1**q
+                * special.gammainc(q + p2, t / p1)
+                * jnp.exp(special.lgamma(q + p2) - special.lgamma(p2))
+            )
+        elif fam == Family.MONODISPERSE:
+            m = jnp.where(t < p1, 0.0, n * p1**q)
+        elif fam == Family.LOGNORMAL:
+            tsafe = jnp.maximum(t, jnp.finfo(params.dtype).tiny)
+            z = (jnp.log(tsafe) - p1 - q * p2**2) / (p2 * np.sqrt(2.0))
+            phi = 0.5 * (1.0 + special.erf(z))
+            m = n * jnp.exp(q * p1 + 0.5 * q**2 * p2**2) * phi
+        out.append(m)
+    return jnp.stack(out, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# densities
+# --------------------------------------------------------------------------
+
+
+def _density_one_mode(fam: Family, n, p1, p2, x, normed: bool):
+    """Reference `density_func` / `normed_density_func`
+    (src/ParticleDistributions/ParticleDistributions.jl:323-416)."""
+    amp = jnp.ones_like(n) if normed else n
+    tiny = jnp.finfo(x.dtype).tiny
+    xs = jnp.maximum(x, tiny)
+    if fam == Family.EXPONENTIAL:
+        return amp / p1 * jnp.exp(-x / p1)
+    if fam == Family.GAMMA:
+        logf = (
+            (p2 - 1.0) * jnp.log(xs)
+            - p2 * jnp.log(p1)
+            - special.lgamma(p2)
+            - x / p1
+        )
+        return amp * jnp.exp(logf)
+    if fam == Family.LOGNORMAL:
+        return (
+            amp
+            * jnp.exp(-((jnp.log(xs) - p1) ** 2) / (2.0 * p2**2))
+            / (xs * p2 * np.sqrt(2.0 * np.pi))
+        )
+    if fam == Family.MONODISPERSE:
+        # rectangular visualization pulse of width 2θ/10 (reference :348-355)
+        return jnp.where(jnp.abs(x - p1) < p1 / 10.0, amp / (2.0 * p1 / 10.0), 0.0)
+    raise ValueError(fam)
+
+
+def density(spec: SpectrumSpec, params, x) -> jnp.ndarray:
+    """Per-mode mass density at x: ``[..., n_modes]`` (broadcasts x)."""
+    params = jnp.asarray(params)
+    x = jnp.asarray(x, dtype=params.dtype)
+    return jnp.stack(
+        [
+            _density_one_mode(
+                fam,
+                params[..., i, 0],
+                params[..., i, 1],
+                params[..., i, 2],
+                x,
+                normed=False,
+            )
+            for i, fam in enumerate(spec.families)
+        ],
+        axis=-1,
+    )
+
+
+def normed_density(spec: SpectrumSpec, params, x) -> jnp.ndarray:
+    """Per-mode density normalized to unit number: ``[..., n_modes]``."""
+    params = jnp.asarray(params)
+    x = jnp.asarray(x, dtype=params.dtype)
+    return jnp.stack(
+        [
+            _density_one_mode(
+                fam,
+                params[..., i, 0],
+                params[..., i, 1],
+                params[..., i, 2],
+                x,
+                normed=True,
+            )
+            for i, fam in enumerate(spec.families)
+        ],
+        axis=-1,
+    )
+
+
+def total_density(spec: SpectrumSpec, params, x) -> jnp.ndarray:
+    """Sum of per-mode densities at x."""
+    return jnp.sum(density(spec, params, x), axis=-1)
+
+
+# --------------------------------------------------------------------------
+# the autoconversion 2-D partial integral
+# --------------------------------------------------------------------------
+
+
+def threshold_log_grid(x_threshold, n_points_max: int, dtype=jnp.float64,
+                       n_bins_per_log_unit: int = 15):
+    """Log-spaced grid replicating the reference's discretization
+    (src/ParticleDistributions/ParticleDistributions.jl:579-585):
+    ``x_lo = min(1e-5, 1e-5 T)``, ``n_bins = floor(15 log10(T / x_lo))``,
+    even spacing in log x. `x_threshold` may be traced; shapes stay static at
+    `n_points_max`.
+
+    Returns (x [..., n_points_max], dx [...], n_bins [...] int32).
+    """
+    t = jnp.asarray(x_threshold, dtype=dtype)
+    x_lo = jnp.minimum(jnp.asarray(1e-5, dtype), 1e-5 * t)
+    ratio = jnp.log10(t / x_lo)
+    n_bins = jnp.floor(n_bins_per_log_unit * ratio).astype(jnp.int32)
+    n_bins = jnp.minimum(n_bins, n_points_max - 1)
+    x_min = jnp.log(x_lo)
+    dx = (jnp.log(t) - x_min) / n_bins.astype(dtype)
+    j = jnp.arange(1, n_points_max + 1, dtype=dtype)
+    x = jnp.exp(x_min[..., None] + (j - 1.0) * dx[..., None])
+    return x, dx, n_bins
+
+
+def moment_source_helper(
+    spec: SpectrumSpec,
+    params,
+    mode: int,
+    p1,
+    p2,
+    x_threshold,
+    n_points_max: int = 256,
+    n_bins_per_log_unit: int = 15,
+) -> jnp.ndarray:
+    """∫₀^T ∫₀^{T−x'} x^p1 x'^p2 f(x) f(x') dx dx' for one mode.
+
+    The S-term autoconversion integral (reference `moment_source_helper`,
+    src/ParticleDistributions/ParticleDistributions.jl:557-625). Reduction to
+    one dimension: the inner integral is the closed-form partial moment
+    P_{p2}(T − x), so
+
+        I = ∫₀^T x^{p1} f(x) · partial_moment(p2, T − x) dx,
+
+    evaluated on the reference's log grid with the Simpson-EvenFast rule —
+    algebraically identical to the reference for exp/gamma (same grid, same
+    weights, same incomplete-gamma inner closed form). Monodisperse is closed
+    form; lognormal uses the same grid with its exact partial moment (the
+    reference used nested adaptive quadrature there).
+
+    p1, p2, x_threshold may be traced scalars (or batched); `mode` is static.
+    """
+    fam = spec.families[mode]
+    params = jnp.asarray(params)
+    n, th, k = (params[..., mode, j] for j in range(3))
+    dtype = params.dtype
+    p1 = jnp.asarray(p1, dtype)
+    p2 = jnp.asarray(p2, dtype)
+    t = jnp.asarray(x_threshold, dtype)
+
+    if fam == Family.MONODISPERSE:
+        # closed form (reference :557-564)
+        return jnp.where(th < t / 2.0, n**2 * th ** (p1 + p2), 0.0)
+
+    x, dx, n_bins = threshold_log_grid(t, n_points_max, dtype, n_bins_per_log_unit)
+    w = simpson_even_fast_weights_dynamic(n_points_max, n_bins, dtype)
+    # mask j > n_bins (reference y_func returns 0 there)
+    j = jnp.arange(1, n_points_max + 1)
+    mask = (j <= n_bins[..., None]).astype(dtype)
+
+    rem = jnp.maximum(t[..., None] - x, 0.0)
+    if fam == Family.EXPONENTIAL:
+        # y(x) = x^{p1+1} e^{-x/θ} P(p2+1, (T-x)/θ) Γ(p2+1); prefactor
+        # n²θ^{p2-1} (reference :567-587). The extra x is the log-grid
+        # Jacobian.
+        g = special.gammainc(p2[..., None] + 1.0, rem / th[..., None])
+        y = x ** (p1[..., None] + 1.0) * jnp.exp(-x / th[..., None]) * g
+        pref = (
+            n**2
+            * th ** (p2 - 1.0)
+            * jnp.exp(special.lgamma(p2 + 1.0))
+        )
+    elif fam == Family.GAMMA:
+        # reference :589-612
+        g = special.gammainc(p2[..., None] + k[..., None], rem / th[..., None])
+        y = (
+            x ** (p1[..., None] + k[..., None])
+            * jnp.exp(-x / th[..., None])
+            * g
+        )
+        pref = (
+            n**2
+            * th ** (p2 - k)
+            * jnp.exp(
+                special.lgamma(p2 + k) - 2.0 * special.lgamma(k)
+            )
+        )
+    elif fam == Family.LOGNORMAL:
+        mu, sig = th, k  # (n, μ, σ) layout
+        xs = jnp.maximum(x, jnp.finfo(dtype).tiny)
+        fx = jnp.exp(
+            -((jnp.log(xs) - mu[..., None]) ** 2) / (2.0 * sig[..., None] ** 2)
+        ) / (xs * sig[..., None] * np.sqrt(2.0 * np.pi))
+        rems = jnp.maximum(rem, jnp.finfo(dtype).tiny)
+        z = (
+            jnp.log(rems) - mu[..., None] - p2[..., None] * sig[..., None] ** 2
+        ) / (sig[..., None] * np.sqrt(2.0))
+        pm = jnp.exp(
+            p2[..., None] * mu[..., None]
+            + 0.5 * p2[..., None] ** 2 * sig[..., None] ** 2
+        ) * 0.5 * (1.0 + special.erf(z))
+        pm = jnp.where(rem > 0.0, pm, 0.0)
+        # y includes log-grid Jacobian x
+        y = x ** (p1[..., None] + 1.0) * fx * pm
+        pref = n**2
+    else:
+        raise ValueError(fam)
+
+    integral = integrate_simpson_even_fast(mask * y, dx, w)
+    return pref * integral
+
+
+# --------------------------------------------------------------------------
+# diagnostics
+# --------------------------------------------------------------------------
+
+
+def get_standard_N_q(spec: SpectrumSpec, params, size_cutoff=1e-6):
+    """Cloud/rain partition diagnostics at a size cutoff (reference
+    `get_standard_N_q`, src/ParticleDistributions/ParticleDistributions.jl:634-687).
+
+    Returns dict(N_liq, N_rai, M_liq, M_rai) summed over modes.
+    """
+    params = jnp.asarray(params)
+    zero = jnp.asarray(0.0, params.dtype)
+    one = jnp.asarray(1.0, params.dtype)
+    n_below = jnp.sum(partial_moment(spec, params, zero, size_cutoff), axis=-1)
+    m_below = jnp.sum(partial_moment(spec, params, one, size_cutoff), axis=-1)
+    n_tot = jnp.sum(moment(spec, params, zero), axis=-1)
+    m_tot = jnp.sum(moment(spec, params, one), axis=-1)
+    return {
+        "N_liq": n_below,
+        "N_rai": n_tot - n_below,
+        "M_liq": m_below,
+        "M_rai": m_tot - m_below,
+    }
+
+
+def compute_thresholds(spec: SpectrumSpec, params, percentiles) -> jnp.ndarray:
+    """Inverse-CDF percentile thresholds per mode; the last mode is +inf
+    (reference `compute_thresholds`,
+    src/ParticleDistributions/ParticleDistributions.jl:721-761).
+
+    exp: −θ log(1−p); gamma: θ · P⁻¹(k, p); lognormal: exp(μ + σΦ⁻¹(p));
+    mono: θ. All clamped below at 1e-18.
+    """
+    params = jnp.asarray(params)
+    dtype = params.dtype
+    if np.ndim(percentiles) == 0:
+        percentiles = [percentiles] * spec.n_modes
+    minx = 1e-18
+    out = []
+    for i, fam in enumerate(spec.families):
+        if i == spec.n_modes - 1:
+            shape = params[..., i, 0].shape
+            out.append(jnp.full(shape, np.inf, dtype))
+            continue
+        p = jnp.asarray(percentiles[i], dtype)
+        n, th, k = (params[..., i, j] for j in range(3))
+        if fam == Family.EXPONENTIAL:
+            thr = -th * jnp.log1p(-p)
+        elif fam == Family.GAMMA:
+            thr = th * special.gammaincinv(k, p)
+        elif fam == Family.LOGNORMAL:
+            thr = jnp.exp(th + k * special.ndtri(p))  # (μ, σ) layout
+        elif fam == Family.MONODISPERSE:
+            thr = th
+        out.append(jnp.maximum(thr, minx))
+    return jnp.stack(out, axis=-1)
+
+
+def check_moment_consistency(m: Sequence[float]) -> None:
+    """Host-side validation: nonnegative moments, positive implied even
+    central moments (reference `check_moment_consistency`,
+    src/ParticleDistributions/ParticleDistributions.jl:437-449). Raises."""
+    m = np.asarray(m, dtype=np.float64)
+    if np.any(m < 0.0):
+        raise ValueError("all moments need to be nonnegative")
+    from math import comb
+
+    for order in range(2, len(m), 2):
+        cm = sum(
+            comb(order, i) * (-1.0) ** i * (m[1] / m[0]) ** i * (m[order - i] / m[0])
+            for i in range(order + 1)
+        )
+        if cm < 0.0:
+            raise ValueError(f"order-{order} central moment must be nonnegative")

@@ -1,0 +1,261 @@
+"""Special functions, implemented branch-free with fixed iteration counts.
+
+The reference relies on Julia's SpecialFunctions (`gamma`, `gamma_inc`,
+`gamma_inc_inv`; see src/ParticleDistributions/ParticleDistributions.jl:12).
+Here every special function is written as pure element-wise jnp arithmetic with
+*static* loop bounds, so the same code runs
+
+- under `jit` on CPU/TPU (XLA),
+- inside Pallas TPU kernels (Mosaic), and
+- vectorized over arbitrary batch shapes,
+
+with identical numerics everywhere. Fixed iteration counts replace adaptive
+convergence tests (data-dependent control flow does not exist on the VPU).
+
+Accuracy (validated in tests/test_special.py against scipy in float64):
+- ``gammainc``:   < 1e-12 relative for a in [1e-3, 50], x in [0, 200]
+- ``gammaincinv``: < 1e-10 relative over the same a-range, p in (1e-6, 1-1e-6)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# log-gamma
+# --------------------------------------------------------------------------
+
+# Lanczos coefficients (g=7, n=9), standard double-precision set.
+_LANCZOS_G = 7.0
+_LANCZOS_COEF = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+
+
+def lgamma(x):
+    """log Γ(x) for x > 0.
+
+    Lanczos approximation — built from exp/log/div only so it lowers inside
+    Pallas kernels (where `lax.lgamma` is unavailable). Relative error
+    < 1e-13 in float64 for x > 0.5; the reflection branch is not needed
+    because every caller has x > 0 (shape parameters, moment orders).
+    """
+    x = jnp.asarray(x)
+    # Compute at z >= 1 for accuracy; for z in (0, 1) use
+    # lgamma(z) = lgamma(z+1) - log(z).
+    shift = x < 1.0
+    z = jnp.where(shift, x + 1.0, x)
+
+    zm1 = z - 1.0
+    series = jnp.full_like(z, _LANCZOS_COEF[0])
+    for i, c in enumerate(_LANCZOS_COEF[1:], start=1):
+        series = series + c / (zm1 + i)
+    t = zm1 + _LANCZOS_G + 0.5
+    half_log_2pi = 0.9189385332046727
+    out = half_log_2pi + (zm1 + 0.5) * jnp.log(t) - t + jnp.log(series)
+    return jnp.where(shift, out - jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)), out)
+
+
+def gammafn(x):
+    """Γ(x) for x > 0."""
+    return jnp.exp(lgamma(x))
+
+
+# --------------------------------------------------------------------------
+# regularized incomplete gamma P(a, x) and Q(a, x)
+# --------------------------------------------------------------------------
+
+
+def _gammainc_series(a, x, n_iters):
+    """Lower-series expansion of P(a,x); accurate for x < a + 1.
+
+    P(a,x) = x^a e^-x / Γ(a) * sum_{n>=0} x^n / (a (a+1) ... (a+n)).
+    """
+
+    def body(_, carry):
+        total, term, ap = carry
+        ap = ap + 1.0
+        term = term * x / ap
+        return total + term, term, ap
+
+    term0 = 1.0 / a
+    total, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (term0, term0, a), unroll=False
+    )
+    log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
+    return total * jnp.exp(log_prefactor)
+
+
+def _gammainc_contfrac(a, x, n_iters):
+    """Continued-fraction (modified Lentz) evaluation of Q(a,x); x >= a + 1."""
+    tiny = jnp.finfo(x.dtype).tiny * 1e10
+
+    b0 = x + 1.0 - a
+    c0 = jnp.full_like(b0, 1.0 / tiny)
+    d0 = 1.0 / jnp.where(jnp.abs(b0) < tiny, tiny, b0)
+    h0 = d0
+
+    def body(i, carry):
+        h, c, d, b = carry
+        fi = i.astype(x.dtype) + 1.0
+        an = -fi * (fi - a)
+        b = b + 2.0
+        d = an * d + b
+        d = jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = b + an / c
+        c = jnp.where(jnp.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        h = h * d * c
+        return h, c, d, b
+
+    h, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (h0, c0, d0, b0), unroll=False)
+    log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
+    return jnp.exp(log_prefactor) * h
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def gammainc(a, x, n_iters: int = 128):
+    """Regularized lower incomplete gamma P(a, x), element-wise.
+
+    Matches Julia's ``gamma_inc(a, x)[1]`` (the reference's workhorse in
+    partial moments and `moment_source_helper`,
+    src/ParticleDistributions/ParticleDistributions.jl:226-285, 557-612).
+
+    Branch-free: evaluates both the series and the continued fraction at a
+    *safe* argument each and selects, so no NaNs leak through `where`.
+    """
+    a = jnp.asarray(a)
+    x = jnp.asarray(x)
+    a, x = jnp.broadcast_arrays(a, x)
+    dtype = jnp.result_type(a, x)
+    a = a.astype(dtype)
+    # Clamp very large x: P(a, x) has saturated to 1 long before 1e6 for any
+    # a this framework sees (a ≲ 100); avoids inf/NaN propagation through the
+    # continued fraction.
+    x = jnp.minimum(x.astype(dtype), 1e6)
+
+    use_series = x < a + 1.0
+    x_safe_series = jnp.where(use_series, x, a + 1.0)
+    x_safe_cf = jnp.where(use_series, a + 1.0, x)
+
+    p_series = _gammainc_series(a, x_safe_series, n_iters)
+    q_cf = _gammainc_contfrac(a, x_safe_cf, n_iters)
+
+    out = jnp.where(use_series, p_series, 1.0 - q_cf)
+    out = jnp.clip(out, 0.0, 1.0)
+    # P(a, x <= 0) = 0
+    return jnp.where(x > 0.0, out, jnp.zeros_like(out))
+
+
+def gammaincc(a, x, n_iters: int = 128):
+    """Regularized upper incomplete gamma Q(a, x) = 1 - P(a, x)."""
+    return 1.0 - gammainc(a, x, n_iters=n_iters)
+
+
+# --------------------------------------------------------------------------
+# inverse of P(a, .)
+# --------------------------------------------------------------------------
+
+# Acklam's rational approximation to the inverse normal CDF. Max abs error
+# ~1.15e-9 — only used as a Newton starting point, final accuracy comes from
+# the Newton iterations on gammainc itself.
+_NDTRI_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+            1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_NDTRI_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+            6.680131188771972e+01, -1.328068155288572e+01)
+_NDTRI_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+            -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_NDTRI_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+            3.754408661907416e+00)
+
+
+def ndtri(p):
+    """Inverse standard normal CDF (Acklam), Pallas-safe."""
+    p = jnp.asarray(p)
+    eps = jnp.finfo(p.dtype).tiny
+    p = jnp.clip(p, eps, 1.0 - 1e-16)
+
+    p_low = 0.02425
+    a, b, c, d = _NDTRI_A, _NDTRI_B, _NDTRI_C, _NDTRI_D
+
+    # central region
+    p_c = jnp.clip(p, p_low, 1.0 - p_low)
+    q = p_c - 0.5
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+    x_central = num * q / den
+
+    # lower tail
+    p_l = jnp.minimum(p, p_low)
+    ql = jnp.sqrt(-2.0 * jnp.log(p_l))
+    num_l = ((((c[0] * ql + c[1]) * ql + c[2]) * ql + c[3]) * ql + c[4]) * ql + c[5]
+    den_l = (((d[0] * ql + d[1]) * ql + d[2]) * ql + d[3]) * ql + 1.0
+    x_low = num_l / den_l
+
+    # upper tail (by symmetry)
+    p_u = jnp.minimum(1.0 - p, p_low)
+    qu = jnp.sqrt(-2.0 * jnp.log(p_u))
+    num_u = ((((c[0] * qu + c[1]) * qu + c[2]) * qu + c[3]) * qu + c[4]) * qu + c[5]
+    den_u = (((d[0] * qu + d[1]) * qu + d[2]) * qu + d[3]) * qu + 1.0
+    x_up = -num_u / den_u
+
+    return jnp.where(p < p_low, x_low, jnp.where(p > 1.0 - p_low, x_up, x_central))
+
+
+@functools.partial(jax.jit, static_argnames=("n_newton", "n_iters"))
+def gammaincinv(a, p, n_newton: int = 32, n_iters: int = 128):
+    """x such that P(a, x) = p — Julia's ``gamma_inc_inv(a, p, 1-p)``.
+
+    Used for percentile thresholds of gamma modes (reference
+    `compute_threshold`, src/ParticleDistributions/ParticleDistributions.jl:755-761).
+
+    Wilson–Hilferty starting point followed by damped Newton iterations on
+    g(x) = P(a,x) - p with analytic derivative P'(a,x) = x^(a-1) e^-x / Γ(a).
+    """
+    a = jnp.asarray(a)
+    p = jnp.asarray(p)
+    a, p = jnp.broadcast_arrays(a, p)
+    dtype = jnp.result_type(a, p)
+    a = a.astype(dtype)
+    tiny = jnp.finfo(dtype).tiny
+    p = jnp.clip(p.astype(dtype), tiny, 1.0 - jnp.finfo(dtype).epsneg)
+
+    # Wilson–Hilferty: x0 = a * (1 - 1/(9a) + z sqrt(1/(9a)))^3
+    z = ndtri(p)
+    t = 1.0 - 1.0 / (9.0 * a) + z * jnp.sqrt(1.0 / (9.0 * a))
+    x0 = a * t * t * t
+    # Small-a / small-p fallback: x0 = (p Γ(a+1))^(1/a)
+    x_small = jnp.exp((jnp.log(p) + lgamma(a + 1.0)) / a)
+    x0 = jnp.where((t > 0.0) & (x0 > 1e3 * tiny), x0, x_small)
+    x0 = jnp.maximum(x0, tiny)
+
+    lg = lgamma(a)
+
+    def body(_, x):
+        f = gammainc(a, x, n_iters=n_iters) - p
+        logdf = (a - 1.0) * jnp.log(jnp.maximum(x, tiny)) - x - lg
+        step = f * jnp.exp(-logdf)
+        # Damp: never move more than a factor of ~0.9 of x toward zero.
+        step = jnp.clip(step, -9.0 * x, 0.9 * x)
+        return x - step
+
+    x = jax.lax.fori_loop(0, n_newton, body, x0, unroll=False)
+    return x
+
+
+def erf(x):
+    """Error function — thin wrapper (XLA provides a native lowering)."""
+    return jax.lax.erf(x)

@@ -1,0 +1,24 @@
+"""Test configuration: force CPU with 8 virtual devices and float64.
+
+Accuracy-parity tests vs the Julia reference require f64; multi-device tests
+use the host-platform device-count flag (no TPU pod needed). Must run before
+jax initializes a backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# Per-op dispatch on this host is slow (~1 s/compile); cache compilations
+# across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+

@@ -1,0 +1,125 @@
+"""0-D box integration tests: Golovin-kernel analytic anchors.
+
+Mirrors reference box_single_gamma.jl + golovin_analytical_solution
+(box_model_helpers.jl:79-89). For the Golovin kernel K = b(x+y) the number
+equation closes exactly: dM0/dt = −b·M0·M1 with M1 conserved, so
+M0(t) = M0(0)·exp(−b·M1·t) independent of the closure — a sharp trajectory
+anchor for the full normalize→invert→coalesce→denormalize→SSPRK33 loop.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cloudy_tpu.spec import Family, SpectrumSpec
+from cloudy_tpu import kernels as K
+from cloudy_tpu import distributions as pd
+from cloudy_tpu.coalescence import build_coalescence_data
+from cloudy_tpu.models import box
+
+
+def _setup_single_gamma(dt=1.0):
+    spec = SpectrumSpec((Family.GAMMA,))
+    kernel_func = K.LinearKernelFunction(5.0)  # b = 5 m^3/kg/s
+    ker = K.CoalescenceTensor.from_function(kernel_func, 1, 1e-6)
+    norms = (1e6, 1e-9)
+    data = build_coalescence_data(spec, ker, (np.inf,), norms=norms)
+    config = box.BoxConfig(spec=spec, norms=norms, t_end=120.0, dt=dt)
+    rhs = jax.jit(box.make_box_rhs(config, coal_data=data))
+    mom0 = jnp.asarray([1e8, 1e-2, 2e-12])
+    return config, rhs, mom0
+
+
+def test_golovin_number_decay_and_mass_conservation():
+    config, rhs, mom0 = _setup_single_gamma(dt=1.0)
+    ts, ys = box.run_box(config, rhs, mom0)
+    ts, ys = np.asarray(ts), np.asarray(ys)
+
+    b, M1 = 5.0, 1e-2
+    # M0(t) = M0 exp(-b M1 t) — exact for Golovin regardless of closure
+    np.testing.assert_allclose(ys[:, 0], 1e8 * np.exp(-b * M1 * ts), rtol=1e-3)
+    # M1 conserved to near machine precision
+    np.testing.assert_allclose(ys[:, 1], M1, rtol=1e-10)
+    # M2 grows monotonically
+    assert np.all(np.diff(ys[:, 2]) > 0)
+
+
+def test_golovin_m2_closure_consistency():
+    """M2 for linear kernel with exponential IC (gamma k=1): compare the
+    k=1-frozen analytic ODE dM2/dt = 2b(M1 M2 + M0 M3(closure)) against the
+    solver at early times when k stays ≈ 1: then M3 = 6 M2²/... — instead of
+    re-deriving, simply check against a dt-refined run (self-convergence)."""
+    config_c, rhs_c, mom0 = _setup_single_gamma(dt=0.25)
+    _, ys_fine = box.run_box(config_c, rhs_c, mom0)
+    config, rhs, _ = _setup_single_gamma(dt=2.0)
+    _, ys = box.run_box(config, rhs, mom0)
+    np.testing.assert_allclose(ys[-1], np.asarray(ys_fine)[-1], rtol=2e-4)
+
+
+def test_golovin_spectrum_vs_analytic():
+    """Reconstructed mass spectrum vs the exact Bessel-form Golovin solution
+    at t = 120 s (the reference's visual benchmark, made quantitative)."""
+    config, rhs, mom0 = _setup_single_gamma(dt=1.0)
+    _, ys = box.run_box(config, rhs, mom0)
+    mom_end = np.asarray(ys)[-1]
+
+    spec = config.spec
+    norms = np.array([1e6, 1e6 * 1e-9, 1e6 * 1e-18])
+    params = pd.params_from_moments(spec, jnp.asarray(mom_end / norms))
+
+    x = np.logspace(-10.5, -7.5, 60)  # kg, around the evolved spectrum
+    # our density is in normalized units: x/m_norm, density·(n_norm/m_norm)
+    xn = x / 1e-9
+    f_ours = np.asarray(
+        jax.vmap(lambda xx: pd.density(spec, params, xx)[..., 0])(jnp.asarray(xn))
+    ) * (1e6 / 1e-9)
+    f_exact = box.golovin_analytical_solution(x, 1e-10, 120.0, b=5.0, n=1e8)
+    # mass-spectrum comparison 3x²f(x) in log space, tolerate closure error
+    num = np.trapezoid(np.abs(x**2 * (f_ours - f_exact)), np.log(x))
+    den = np.trapezoid(x**2 * f_exact, np.log(x))
+    assert num / den < 0.25
+
+
+def test_smoluchowski_full_loop():
+    """Constant-kernel box through the full driver (normalized units)."""
+    spec = SpectrumSpec((Family.EXPONENTIAL,))
+    ker = K.CoalescenceTensor([[1.0]])
+    data = build_coalescence_data(spec, ker, (np.inf,), norms=(1.0, 1.0))
+    config = box.BoxConfig(spec=spec, norms=(1.0, 1.0), t_end=1.0, dt=0.01)
+    rhs = jax.jit(box.make_box_rhs(config, coal_data=data))
+    ts, ys = box.run_box(config, rhs, jnp.asarray([1.0, 2.0]))
+    ts, ys = np.asarray(ts), np.asarray(ys)
+    np.testing.assert_allclose(ys[:, 0], 1.0 / (1.0 + 0.5 * ts), rtol=1e-4)
+    np.testing.assert_allclose(ys[:, 1], 2.0, rtol=1e-12)
+
+
+def test_two_mode_box_runs_and_conserves():
+    """Reference box_gamma_mixture.jl setup: mass exchange between modes with
+    total mass conserved along the whole trajectory."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    norms = (1e6, 1e-9)
+    data = build_coalescence_data(spec, ker, (5e-10, np.inf), norms=norms)
+    config = box.BoxConfig(spec=spec, norms=norms, t_end=120.0, dt=1.0)
+    rhs = jax.jit(box.make_box_rhs(config, coal_data=data))
+    mom0 = jnp.asarray([1e8, 1e-2, 2e-12, 1.0, 1e-8, 2e-16])
+    _, ys = box.run_box(config, rhs, mom0)
+    ys = np.asarray(ys)
+    assert np.all(np.isfinite(ys))
+    mass = ys[:, 1] + ys[:, 4]
+    np.testing.assert_allclose(mass, mass[0], rtol=1e-8)
+    # rain mode gains number over time (promotion S_2)
+    assert ys[-1, 3] > ys[0, 3]
+
+
+def test_condensation_box():
+    """Reference condensation examples: M0 constant, M1 grows for s > 0."""
+    spec = SpectrumSpec((Family.GAMMA,))
+    config = box.BoxConfig(spec=spec, norms=(1e6, 1e-9), t_end=10.0, dt=0.1)
+    rhs = jax.jit(box.make_box_condensation_rhs(config, s=0.01, xi=1e-10))
+    _, ys = box.run_box(config, rhs, jnp.asarray([1e8, 1e-2, 2e-12]))
+    ys = np.asarray(ys)
+    np.testing.assert_allclose(ys[:, 0], 1e8, rtol=1e-12)
+    assert ys[-1, 1] > ys[0, 1]
+    assert np.all(np.isfinite(ys))
