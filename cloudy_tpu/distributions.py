@@ -121,19 +121,26 @@ _INVERTERS = {
 }
 
 
-def params_from_moments(spec: SpectrumSpec, mom_flat) -> jnp.ndarray:
+def params_from_moments(
+    spec: SpectrumSpec, mom_flat, gamma_k_range=GAMMA_K_RANGE
+) -> jnp.ndarray:
     """Closure inversion: flat prognostic moments ``[..., n_tot]`` ->
     parameters ``[..., n_modes, 3]``.
 
     The per-step hot path of the reference (`update_dist_from_moments`,
     src/ParticleDistributions/ParticleDistributions.jl:456-541), fused over
-    all modes with static slicing.
+    all modes with static slicing. `gamma_k_range` clips the gamma shape
+    parameter (reference ``param_range``, default (eps, 10)).
     """
     mom_flat = jnp.asarray(mom_flat)
     parts = []
     for i, fam in enumerate(spec.families):
         o, n = spec.offsets[i], spec.nprogmoms[i]
-        parts.append(_INVERTERS[fam](mom_flat[..., o : o + n]))
+        block = mom_flat[..., o : o + n]
+        if fam == Family.GAMMA:
+            parts.append(_invert_gamma(block, gamma_k_range))
+        else:
+            parts.append(_INVERTERS[fam](block))
     return jnp.stack(parts, axis=-2)
 
 

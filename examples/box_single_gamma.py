@@ -1,0 +1,9 @@
+"""Box model with a single gamma mode (reference box_single_gamma.jl)."""
+from common import *
+
+run_box_example(
+    "box_single_gamma",
+    SpectrumSpec((Family.GAMMA,)),
+    [1e8, 1e-2, 2e-12],
+    kernel=K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6),
+)
