@@ -50,19 +50,34 @@ def main():
         base[None, :] * rng.uniform(0.5, 2.0, (B, 6)), dtype
     )
 
-    @jax.jit
-    def rhs(m):
-        return get_coal_ints(data, pdists.params_from_moments(spec, m))
+    from functools import partial
 
-    out = rhs(mom)
-    out.block_until_ready()  # compile + warm
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(m, n):
+        # n sequential RHS evaluations with a data dependency between steps
+        # (an Euler relaxation), so no iteration can be elided or overlapped;
+        # returns a scalar so the host readback forces full completion.
+        def body(_, mm):
+            dm = get_coal_ints(data, pdists.params_from_moments(spec, mm))
+            return mm + 1e-9 * dm
 
-    n_iter = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = rhs(mom)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+        out = jax.lax.fori_loop(0, n, body, m)
+        return jnp.sum(out)
+
+    # The axon-tunneled runtime's block_until_ready does not reliably wait;
+    # a scalar readback does, at a fixed RPC cost. Subtract it by timing two
+    # chain lengths (readback + compile-cache effects cancel).
+    def timed(n, reps=5):
+        float(chain(mom, n))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(mom, n))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    n1, n2 = 4, 36
+    dt = max((timed(n2) - timed(n1)) / (n2 - n1), 1e-12)
 
     updates_per_s = B * spec.n_tot / dt
     print(

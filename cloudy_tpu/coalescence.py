@@ -238,14 +238,14 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     gis = [gi]
     for q in range(1, M):
         a = a0 + (q - 1.0)
-        delta = jnp.exp(a * log_rem - rem - special.lgamma(a + 1.0))
+        delta = special.exp(a * log_rem - rem - special.lgamma(a + 1.0))
         delta = jnp.where(rem > 0.0, delta, 0.0)
         gi = jnp.clip(gi - delta, 0.0, 1.0)
         gis.append(gi)
     GI = jnp.stack(gis, axis=-2)  # [..., M(q), G]
 
     # integrand rows: Y[p] = w · mask · x^{p+k} e^{−x/θ}
-    base = jnp.exp(k[..., None] * logx - x / th) * w * mask
+    base = special.exp(k[..., None] * logx - x / th) * w * mask
     ys = [base]
     for _ in range(1, M):
         ys.append(ys[-1] * x)
@@ -257,7 +257,7 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     q = jnp.arange(M, dtype=dtype)
     logth = jnp.log(th)
     lgk = special.lgamma(k)[..., None]
-    pref = (n[..., None] ** 2) * jnp.exp(
+    pref = (n[..., None] ** 2) * special.exp(
         (q - k[..., None]) * logth
         + special.lgamma(q + k[..., None])
         - 2.0 * lgk
@@ -279,7 +279,7 @@ def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int):
     mu_, sig_ = mu[..., None], sig[..., None]
     tiny = jnp.finfo(dtype).tiny
     logx = jnp.log(jnp.maximum(x, tiny))
-    fx = jnp.exp(-((logx - mu_) ** 2) / (2.0 * sig_**2)) / (
+    fx = special.exp(-((logx - mu_) ** 2) / (2.0 * sig_**2)) / (
         x * sig_ * np.sqrt(2.0 * np.pi)
     )
     rem = jnp.maximum(thr[..., None] - x, 0.0)
@@ -289,7 +289,7 @@ def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int):
     z = (logrem[..., None, :] - mu_[..., None, :] - q * sig_[..., None, :] ** 2) / (
         sig_[..., None, :] * np.sqrt(2.0)
     )
-    pm = jnp.exp(
+    pm = special.exp(
         q * mu_[..., None, :] + 0.5 * q**2 * sig_[..., None, :] ** 2
     ) * 0.5 * (1.0 + special.erf(z))
     pm = jnp.where(rem[..., None, :] > 0.0, pm, 0.0)  # [..., M(q), G]

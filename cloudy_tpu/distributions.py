@@ -106,7 +106,7 @@ def _invert_lognormal(m):
     mu = jnp.log(m1s**2 / (m0s**1.5 * m2s**0.5))
     sig2 = jnp.log(jnp.maximum(m0s * m2s / m1s**2, 1.0))
     sigma = jnp.maximum(jnp.sqrt(sig2), eps)
-    n = m1s / jnp.exp(mu + 0.5 * sigma**2)
+    n = m1s / special.exp(mu + 0.5 * sigma**2)
     n = jnp.where(valid, n, 0.0)
     mu = jnp.where(valid, mu, 1.0)
     sigma = jnp.where(valid, sigma, 1.0)
@@ -160,8 +160,8 @@ def get_moments(spec: SpectrumSpec, params) -> jnp.ndarray:
             out.extend(
                 [
                     n,
-                    n * jnp.exp(p1 + 0.5 * p2**2),
-                    n * jnp.exp(2.0 * p1 + 2.0 * p2**2),
+                    n * special.exp(p1 + 0.5 * p2**2),
+                    n * special.exp(2.0 * p1 + 2.0 * p2**2),
                 ]
             )
     return jnp.stack(out, axis=-1)
@@ -193,7 +193,7 @@ def _integer_moments_one_mode(fam: Family, n, p1, p2, n_cols: int):
         elif fam == Family.MONODISPERSE:
             m = m * p1
         elif fam == Family.LOGNORMAL:
-            m = m * jnp.exp(p1 + (2.0 * o + 1.0) * 0.5 * p2**2)
+            m = m * special.exp(p1 + (2.0 * o + 1.0) * 0.5 * p2**2)
         cols.append(m)
     return jnp.stack(cols, axis=-1)
 
@@ -232,13 +232,15 @@ def moment(spec: SpectrumSpec, params, q) -> jnp.ndarray:
     for i, fam in enumerate(spec.families):
         n, p1, p2 = (params[..., i, j] for j in range(3))
         if fam == Family.EXPONENTIAL:
-            m = n * p1**q * jnp.exp(special.lgamma(q + 1.0))
+            m = n * special.exp(q * jnp.log(p1) + special.lgamma(q + 1.0))
         elif fam == Family.GAMMA:
-            m = n * p1**q * jnp.exp(special.lgamma(q + p2) - special.lgamma(p2))
+            m = n * special.exp(
+                q * jnp.log(p1) + special.lgamma(q + p2) - special.lgamma(p2)
+            )
         elif fam == Family.MONODISPERSE:
-            m = n * p1**q
+            m = n * special.powx(p1, q)
         elif fam == Family.LOGNORMAL:
-            m = n * jnp.exp(q * p1 + 0.5 * q**2 * p2**2)
+            m = n * special.exp(q * p1 + 0.5 * q**2 * p2**2)
         out.append(m)
     return jnp.stack(out, axis=-1)
 
@@ -261,24 +263,24 @@ def partial_moment(spec: SpectrumSpec, params, q, x_threshold) -> jnp.ndarray:
         if fam == Family.EXPONENTIAL:
             m = (
                 n
-                * p1**q
                 * special.gammainc(q + 1.0, t / p1)
-                * jnp.exp(special.lgamma(q + 1.0))
+                * special.exp(q * jnp.log(p1) + special.lgamma(q + 1.0))
             )
         elif fam == Family.GAMMA:
             m = (
                 n
-                * p1**q
                 * special.gammainc(q + p2, t / p1)
-                * jnp.exp(special.lgamma(q + p2) - special.lgamma(p2))
+                * special.exp(
+                    q * jnp.log(p1) + special.lgamma(q + p2) - special.lgamma(p2)
+                )
             )
         elif fam == Family.MONODISPERSE:
-            m = jnp.where(t < p1, 0.0, n * p1**q)
+            m = jnp.where(t < p1, 0.0, n * special.powx(p1, q))
         elif fam == Family.LOGNORMAL:
             tsafe = jnp.maximum(t, jnp.finfo(params.dtype).tiny)
             z = (jnp.log(tsafe) - p1 - q * p2**2) / (p2 * np.sqrt(2.0))
             phi = 0.5 * (1.0 + special.erf(z))
-            m = n * jnp.exp(q * p1 + 0.5 * q**2 * p2**2) * phi
+            m = n * special.exp(q * p1 + 0.5 * q**2 * p2**2) * phi
         out.append(m)
     return jnp.stack(out, axis=-1)
 
@@ -303,11 +305,11 @@ def _density_one_mode(fam: Family, n, p1, p2, x, normed: bool):
             - special.lgamma(p2)
             - x / p1
         )
-        return amp * jnp.exp(logf)
+        return amp * special.exp(logf)
     if fam == Family.LOGNORMAL:
         return (
             amp
-            * jnp.exp(-((jnp.log(xs) - p1) ** 2) / (2.0 * p2**2))
+            * special.exp(-((jnp.log(xs) - p1) ** 2) / (2.0 * p2**2))
             / (xs * p2 * np.sqrt(2.0 * np.pi))
         )
     if fam == Family.MONODISPERSE:
@@ -439,44 +441,40 @@ def moment_source_helper(
         # n²θ^{p2-1} (reference :567-587). The extra x is the log-grid
         # Jacobian.
         g = special.gammainc(p2[..., None] + 1.0, rem / th[..., None])
-        y = x ** (p1[..., None] + 1.0) * jnp.exp(-x / th[..., None]) * g
-        pref = (
-            n**2
-            * th ** (p2 - 1.0)
-            * jnp.exp(special.lgamma(p2 + 1.0))
+        y = special.powx(x, p1[..., None] + 1.0) * special.exp(-x / th[..., None]) * g
+        pref = n**2 * special.exp(
+            (p2 - 1.0) * jnp.log(th) + special.lgamma(p2 + 1.0)
         )
     elif fam == Family.GAMMA:
         # reference :589-612
         g = special.gammainc(p2[..., None] + k[..., None], rem / th[..., None])
         y = (
-            x ** (p1[..., None] + k[..., None])
-            * jnp.exp(-x / th[..., None])
+            special.powx(x, p1[..., None] + k[..., None])
+            * special.exp(-x / th[..., None])
             * g
         )
-        pref = (
-            n**2
-            * th ** (p2 - k)
-            * jnp.exp(
-                special.lgamma(p2 + k) - 2.0 * special.lgamma(k)
-            )
+        pref = n**2 * special.exp(
+            (p2 - k) * jnp.log(th)
+            + special.lgamma(p2 + k)
+            - 2.0 * special.lgamma(k)
         )
     elif fam == Family.LOGNORMAL:
         mu, sig = th, k  # (n, μ, σ) layout
         xs = jnp.maximum(x, jnp.finfo(dtype).tiny)
-        fx = jnp.exp(
+        fx = special.exp(
             -((jnp.log(xs) - mu[..., None]) ** 2) / (2.0 * sig[..., None] ** 2)
         ) / (xs * sig[..., None] * np.sqrt(2.0 * np.pi))
         rems = jnp.maximum(rem, jnp.finfo(dtype).tiny)
         z = (
             jnp.log(rems) - mu[..., None] - p2[..., None] * sig[..., None] ** 2
         ) / (sig[..., None] * np.sqrt(2.0))
-        pm = jnp.exp(
+        pm = special.exp(
             p2[..., None] * mu[..., None]
             + 0.5 * p2[..., None] ** 2 * sig[..., None] ** 2
         ) * 0.5 * (1.0 + special.erf(z))
         pm = jnp.where(rem > 0.0, pm, 0.0)
         # y includes log-grid Jacobian x
-        y = x ** (p1[..., None] + 1.0) * fx * pm
+        y = special.powx(x, p1[..., None] + 1.0) * fx * pm
         pref = n**2
     else:
         raise ValueError(fam)
@@ -537,7 +535,7 @@ def compute_thresholds(spec: SpectrumSpec, params, percentiles) -> jnp.ndarray:
         elif fam == Family.GAMMA:
             thr = th * special.gammaincinv(k, p)
         elif fam == Family.LOGNORMAL:
-            thr = jnp.exp(th + k * special.ndtri(p))  # (μ, σ) layout
+            thr = special.exp(th + k * special.ndtri(p))  # (μ, σ) layout
         elif fam == Family.MONODISPERSE:
             thr = th
         out.append(jnp.maximum(thr, minx))

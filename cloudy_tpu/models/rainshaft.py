@@ -121,25 +121,53 @@ def run_rainshaft(config: RainshaftConfig, rhs, mom_init):
 def analytical_sol_sedimentation(config: RainshaftConfig, spec_family, ic, coeff, t):
     """Semi-analytic pure-sedimentation moment profiles at time t
     (reference `analytical_sol`, rainshaft_helpers.jl:102-125): each particle
-    mass m falls at v(m); the solution advects the initial moment profile
-    along characteristics z0 = z + v(m)·t and re-integrates moments over a
-    high-resolution mass grid. Host-side numpy (validation only).
+    mass m falls at v(m) = c0 + c1·m^{1/6}; the solution advects the initial
+    moment profile along characteristics z0 = z + v(m)·t and re-integrates
+    moments over a high-resolution mass grid. Pure-numpy host-side validation
+    helper (exponential/gamma closures inlined).
 
-    - `ic`: [nz, n_mom] initial moments (n_mom = 2 or 3 single mode)
-    - `coeff`: (c0, c1) for v(m) = c0 + c1 m^(1/6)
+    - `ic`: [nz, n_mom] initial moments of a single mode
+    - `coeff`: (c0, c1)
     """
-    from cloudy_tpu.spec import Family, SpectrumSpec as _S
-    import scipy.interpolate as si
+    import math
+
+    from cloudy_tpu.spec import Family
 
     z = config.z
     nz, nmom = ic.shape
     nm = 10000
     m_ = np.logspace(-5, 4, nm)
-    interp = si.RegularGridInterpolator(
-        (z,), ic, bounds_error=False, fill_value=None
-    )
+    eps = np.finfo(np.float64).eps
 
-    spec1 = _S((spec_family,))
+    def density_np(mom_z0, m):
+        m0, m1 = mom_z0[0], mom_z0[1]
+        if m0 <= eps or m1 <= eps:
+            return 0.0
+        if spec_family == Family.EXPONENTIAL:
+            n, th = m0, m1 / m0
+            return n / th * math.exp(-m / th)
+        if spec_family == Family.GAMMA:
+            m2 = mom_z0[2]
+            mean = m1 / m0
+            denom = m2 / m1 - mean
+            k = min(max(mean / max(denom, eps), eps), 10.0)
+            th = mean / k
+            return (
+                m0
+                * m ** (k - 1.0)
+                / th**k
+                / math.gamma(k)
+                * math.exp(-m / th)
+            )
+        raise ValueError(spec_family)
+
+    def interp_ic(z0):
+        # linear interpolation with linear extrapolation (reference uses
+        # Line() extrapolation)
+        return np.array(
+            [np.interp(z0, z, ic[:, k]) for k in range(nmom)]
+        )
+
     mom = np.zeros((nz, nmom))
     for i, z_ in enumerate(z):
         for j in range(1, nm - 1):
@@ -149,9 +177,10 @@ def analytical_sol_sedimentation(config: RainshaftConfig, spec_family, ic, coeff
             z0 = z_ + v * t
             if z0 > z.max():
                 continue
-            mom_z0 = np.maximum(interp(np.array([z0]))[0], 0.0)
-            params = pdists.params_from_moments(spec1, jnp.asarray(mom_z0))
-            dens = float(pdists.density(spec1, params, float(m))[0])
+            mom_z0 = np.maximum(interp_ic(z0), 0.0)
+            dens = density_np(mom_z0, m)
+            if dens == 0.0:
+                continue
             for k in range(nmom):
                 mom[i, k] += m**k * dens * dm
     return mom

@@ -111,13 +111,22 @@ def make_pallas_coal_fn(
     wb_nz = _wb_nonzeros(data)
     wf_nz = _wf_nonzeros(data)
 
-    # static Simpson grids per thresholded mode
+    # static Simpson grids per thresholded mode — passed as kernel INPUTS
+    # (Pallas forbids captured array constants); row 0 = x nodes, row 1 =
+    # masked Simpson weights.
     grids = {}
+    grid_inputs = []
+    thresholded_modes = []
     for i in range(N):
         if i < N - 1 and np.isfinite(data.thresholds[i]):
-            grids[i] = _static_grid(data.thresholds[i])
+            x_np, w_np, dx = _static_grid(data.thresholds[i])
+            grids[i] = (x_np.shape[0], dx)
+            grid_inputs.append(np.stack([x_np, w_np]))
+            thresholded_modes.append(i)
 
-    def kernel(mom_ref, out_ref):
+    def kernel(mom_ref, *refs):
+        grid_refs = refs[:-1]
+        out_ref = refs[-1]
         dtype = mom_ref.dtype
         eps = jnp.finfo(dtype).eps
         TB = mom_ref.shape[1]
@@ -162,12 +171,12 @@ def make_pallas_coal_fn(
 
         # ---- F2 matrices for thresholded modes ---------------------------
         f2 = {}
-        for i, (x_np, w_np, dx) in grids.items():
+        for slot, i in enumerate(thresholded_modes):
+            G, dx = grids[i]
             n, theta, k = params[i]
-            G = x_np.shape[0]
-            x = jnp.asarray(x_np, dtype).reshape(G, 1)
-            logx = jnp.asarray(np.log(x_np), dtype).reshape(G, 1)
-            w = jnp.asarray(w_np, dtype).reshape(G, 1)
+            x = grid_refs[slot][0, :].reshape(G, 1)
+            w = grid_refs[slot][1, :].reshape(G, 1)
+            logx = jnp.log(x)
             T = jnp.asarray(float(data.thresholds[i]), dtype)
 
             inv_theta = 1.0 / theta  # [1, TB]
@@ -179,13 +188,13 @@ def make_pallas_coal_fn(
             gis = [gi]
             for q in range(1, M):
                 a = k + (q - 1.0)
-                delta = jnp.exp(a * log_rem - rem - special.lgamma(a + 1.0))
+                delta = special.exp(a * log_rem - rem - special.lgamma(a + 1.0))
                 delta = jnp.where(rem > 0.0, delta, 0.0)
                 gi = jnp.clip(gi - delta, 0.0, 1.0)
                 gis.append(gi)
 
             # integrand rows Y_p = w · x^{p+k} e^{-x/θ}
-            base = jnp.exp(k * logx - x * inv_theta) * w  # [G, TB]
+            base = special.exp(k * logx - x * inv_theta) * w  # [G, TB]
             lgk = special.lgamma(k)
             logth = jnp.log(theta)
             mm_rows = mf[i]
@@ -198,7 +207,7 @@ def make_pallas_coal_fn(
                     if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
                         continue
                     raw = jnp.sum(ypow * gis[q], axis=0, keepdims=True) * dx
-                    pref = (n * n) * jnp.exp(
+                    pref = (n * n) * special.exp(
                         (q - k) * logth + special.lgamma(q + k) - 2.0 * lgk
                     )
                     msh = raw * pref
@@ -242,20 +251,28 @@ def make_pallas_coal_fn(
         if B % block_cols != 0:
             raise ValueError(f"B={B} not a multiple of block_cols={block_cols}")
         grid = (B // block_cols,)
+        in_specs = [
+            pl.BlockSpec(
+                (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ]
+        grid_args = []
+        for g in grid_inputs:
+            shape = g.shape
+            in_specs.append(
+                pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            grid_args.append(jnp.asarray(g, mom_t.dtype))
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(mom_t.shape, mom_t.dtype),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
-                )
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(mom_t)
+        )(mom_t, *grid_args)
 
     def fn(mom):
         """[B, n_tot] -> [B, n_tot] (framework layout; transposes at entry)."""

@@ -47,8 +47,9 @@ def simpson_even_fast_weights_dynamic(n_points_max: int, n_bins, dtype=jnp.float
     weight zero. `n_bins` may be a traced integer scalar.
     """
     j = jnp.arange(1, n_points_max + 1)
-    e = n_bins + 1
-    interior = ((j >= 5) & (j <= n_bins - 3)).astype(dtype)
+    nb = jnp.asarray(n_bins)[..., None]  # broadcast over batched n_bins
+    e = nb + 1
+    interior = ((j >= 5) & (j <= nb - 3)).astype(dtype)
     w = interior
     for jj, c in ((1, 17.0), (2, 59.0), (3, 43.0), (4, 49.0)):
         w = w + jnp.where(j == jj, c / 48.0, 0.0).astype(dtype)

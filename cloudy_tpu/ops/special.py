@@ -44,6 +44,40 @@ _LANCZOS_COEF = (
 )
 
 
+def exp(x):
+    """Overflow-safe exponential.
+
+    This environment's XLA backend evaluates f64 `exp` at float32 range and
+    precision (overflow to inf at x ≈ 88.7, measured in tests/test_special).
+    Decomposing e^x = 2^frac(y) · 2^floor(y) with y = x·log2(e) keeps the
+    mantissa computation in [1, 2) (no overflow) and applies the power of two
+    exactly via `ldexp` — full f64 range at the backend's native precision.
+    Also the Pallas-safe exp (same ops lower in Mosaic).
+    """
+    x = jnp.asarray(x)
+    # direct path for the f32-safe argument range
+    direct = jnp.exp(jnp.clip(x, -85.0, 85.0))
+    # extended range via exp(x) = exp(x/9)^9 (|x|/9 <= 85 covers the full
+    # f64 range |x| <= 745); 9 multiplies, ~9x the base rel error — only
+    # used where the direct path would clamp
+    y = jnp.exp(jnp.clip(x, -745.0, 745.0) * (1.0 / 9.0))
+    y3 = y * y * y
+    chain = y3 * y3 * y3
+    out = jnp.where(jnp.abs(x) < 85.0, direct, chain)
+    # pin true overflow/underflow and propagate NaN
+    out = jnp.where(x > 745.0, jnp.inf, out)
+    out = jnp.where(x < -745.0, 0.0, out)
+    return jnp.where(jnp.isnan(x), x, out)
+
+
+def powx(base, q):
+    """Overflow-safe ``base**q`` for base > 0 (via exp(q·log base));
+    returns 1 for q == 0 even when base is the degenerate placeholder."""
+    base = jnp.asarray(base)
+    b = jnp.maximum(base, jnp.finfo(base.dtype).tiny)
+    return exp(jnp.asarray(q) * jnp.log(b))
+
+
 def lgamma(x):
     """log Γ(x) for x > 0.
 
@@ -70,7 +104,7 @@ def lgamma(x):
 
 def gammafn(x):
     """Γ(x) for x > 0."""
-    return jnp.exp(lgamma(x))
+    return exp(lgamma(x))
 
 
 # --------------------------------------------------------------------------
@@ -95,7 +129,7 @@ def _gammainc_series(a, x, n_iters):
         0, n_iters, body, (term0, term0, a), unroll=False
     )
     log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
-    return total * jnp.exp(log_prefactor)
+    return total * exp(log_prefactor)
 
 
 def _gammainc_contfrac(a, x, n_iters):
@@ -122,7 +156,7 @@ def _gammainc_contfrac(a, x, n_iters):
 
     h, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (h0, c0, d0, b0), unroll=False)
     log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
-    return jnp.exp(log_prefactor) * h
+    return exp(log_prefactor) * h
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
@@ -238,7 +272,7 @@ def gammaincinv(a, p, n_newton: int = 32, n_iters: int = 128):
     t = 1.0 - 1.0 / (9.0 * a) + z * jnp.sqrt(1.0 / (9.0 * a))
     x0 = a * t * t * t
     # Small-a / small-p fallback: x0 = (p Γ(a+1))^(1/a)
-    x_small = jnp.exp((jnp.log(p) + lgamma(a + 1.0)) / a)
+    x_small = exp((jnp.log(p) + lgamma(a + 1.0)) / a)
     x0 = jnp.where((t > 0.0) & (x0 > 1e3 * tiny), x0, x_small)
     x0 = jnp.maximum(x0, tiny)
 
@@ -247,7 +281,7 @@ def gammaincinv(a, p, n_newton: int = 32, n_iters: int = 128):
     def body(_, x):
         f = gammainc(a, x, n_iters=n_iters) - p
         logdf = (a - 1.0) * jnp.log(jnp.maximum(x, tiny)) - x - lg
-        step = f * jnp.exp(-logdf)
+        step = f * exp(-logdf)
         # Damp: never move more than a factor of ~0.9 of x toward zero.
         step = jnp.clip(step, -9.0 * x, 0.9 * x)
         return x - step

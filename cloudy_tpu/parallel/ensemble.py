@@ -34,7 +34,7 @@ def shard_columns(
         mesh=mesh,
         in_specs=(spec,),
         out_specs=spec,
-        check_vma=False,
+        check_rep=False,
     )
     def sharded(y):
         return step_fn(y)
@@ -72,7 +72,7 @@ def ensemble_rainshaft_step(
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, P()),
-        check_vma=False,
+        check_rep=False,
     )
     def sharded(y):
         y_next = local_step(y)

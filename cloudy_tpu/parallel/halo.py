@@ -111,7 +111,7 @@ def z_sharded_step(
         mesh=mesh,
         in_specs=(spec_inout,),
         out_specs=spec_inout,
-        check_vma=False,
+        check_rep=False,
     )
     def sharded(y):
         return step(rhs, y, jnp.asarray(0.0, y.dtype), dt)

@@ -16,9 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# This sandbox preimports jax with JAX_PLATFORMS=axon (remote TPU tunnel);
+# the env vars above are therefore too late — switch the platform explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Per-op dispatch on this host is slow (~1 s/compile); cache compilations
-# across pytest runs.
+# Cache compilations across pytest runs.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

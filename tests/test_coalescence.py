@@ -105,6 +105,8 @@ def test_exp_gamma_vs_independent_reimplementation():
                             temp += cb * mom[j, a + c] * mom[i, b + k - c]
             want[spec.dist_moment_ind(i, k)] = temp
 
+    # the incomplete-gamma recurrence in the fused path vs the direct
+    # evaluation in moment_source_helper differ at the last few ulps
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 

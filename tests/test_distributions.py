@@ -29,7 +29,7 @@ def test_moments_exponential():
     assert float(pd.moment(EXP, params, 0.0)[0]) == pytest.approx(1.0)
     assert float(pd.moment(EXP, params, 1.0)[0]) == pytest.approx(2.0)
     assert float(pd.moment(EXP, params, 10.0)[0]) == pytest.approx(
-        2.0**10 * ss.gamma(11.0), rel=1e-6
+        2.0**10 * ss.gamma(11.0), rel=1e-12
     )
     np.testing.assert_allclose(
         np.asarray(pd.get_moments(EXP, params)), [1.0, 2.0], rtol=1e-14
@@ -43,7 +43,7 @@ def test_moments_gamma():
         np.asarray(pd.get_moments(GAM, params)), [1.0, 2.0, 6.0], rtol=1e-14
     )
     got = float(pd.moment(GAM, params, 2.0 / 3.0)[0])
-    assert got == pytest.approx(ss.gamma(2 + 2 / 3) / ss.gamma(2.0), rel=1e-6)
+    assert got == pytest.approx(ss.gamma(2 + 2 / 3) / ss.gamma(2.0), rel=1e-12)
 
 
 def test_moments_lognormal():
@@ -52,9 +52,9 @@ def test_moments_lognormal():
     np.testing.assert_allclose(
         np.asarray(pd.get_moments(LOG, params)),
         [1.0, np.exp(3.0), np.exp(10.0)],
-        rtol=1e-6,
+        rtol=1e-12,
     )
-    assert float(pd.moment(LOG, params, 0.5)[0]) == pytest.approx(np.e, rel=1e-6)
+    assert float(pd.moment(LOG, params, 0.5)[0]) == pytest.approx(np.e, rel=1e-12)
 
 
 def test_moments_monodisperse():
@@ -67,18 +67,18 @@ def test_densities():
     params = P(1.0, 2.0, 0.0)
     assert float(pd.density(EXP, params, 0.0)[0]) == pytest.approx(0.5)
     assert float(pd.density(EXP, params, 3.1)[0]) == pytest.approx(
-        0.5 * np.exp(-3.1 / 2.0), rel=1e-6
+        0.5 * np.exp(-3.1 / 2.0), rel=1e-12
     )
     # gamma(1, 1, 2): f(3) = 3 e^-3 / Γ(2)
     params = P(1.0, 1.0, 2.0)
     assert float(pd.density(GAM, params, 0.0)[0]) == pytest.approx(0.0)
     assert float(pd.density(GAM, params, 3.0)[0]) == pytest.approx(
-        3.0 * np.exp(-3.0), rel=1e-6
+        3.0 * np.exp(-3.0), rel=1e-12
     )
     # lognormal(1, 1, 2): f(e) = 1/(2 √(2π) e)
     params = P(1.0, 1.0, 2.0)
     assert float(pd.density(LOG, params, np.e)[0]) == pytest.approx(
-        1.0 / 2.0 / np.sqrt(2 * np.pi) / np.e, rel=1e-6
+        1.0 / 2.0 / np.sqrt(2 * np.pi) / np.e, rel=1e-12
     )
     # monodisperse(1, 2): rectangular pulse of width 2θ/10
     params = P(1.0, 2.0, 0.0)
@@ -142,12 +142,12 @@ def test_partial_moments_vs_scipy():
     params = P(2.0, 0.7, 0.0)
     got = float(pd.partial_moment(EXP, params, 1.0, 1.3)[0])
     want = 2.0 * 0.7 * ss.gammainc(2.0, 1.3 / 0.7) * ss.gamma(2.0)
-    assert got == pytest.approx(want, rel=1e-6)
+    assert got == pytest.approx(want, rel=1e-9)
 
     params = P(2.0, 0.7, 3.0)
     got = float(pd.partial_moment(GAM, params, 1.0, 1.3)[0])
     want = 2.0 * 0.7 * ss.gammainc(4.0, 1.3 / 0.7) * ss.gamma(4.0) / ss.gamma(3.0)
-    assert got == pytest.approx(want, rel=1e-6)
+    assert got == pytest.approx(want, rel=1e-9)
 
     # lognormal closed form vs numerical integration
     from scipy.integrate import quad
@@ -159,7 +159,7 @@ def test_partial_moments_vs_scipy():
         x * sig * np.sqrt(2 * np.pi)
     )
     want, _ = quad(f, 0.0, T)
-    assert got == pytest.approx(want, rel=1e-6)
+    assert got == pytest.approx(want, rel=1e-9)
 
     # monodisperse step behavior
     params = P(1.0, 2.0, 0.0)

@@ -93,7 +93,7 @@ def test_numerical_matches_analytical_single_gamma():
     data = build_coalescence_data(spec, ker, (np.inf,))
     ana = np.asarray(get_coal_ints(data, params))
     num = np.asarray(cn.get_coal_ints_numerical(spec, params, kf))
-    np.testing.assert_allclose(num, ana, rtol=2e-3)
+    np.testing.assert_allclose(num, ana, rtol=2e-3, atol=1e-8 * np.abs(ana).max())
 
 
 def test_numerical_matches_analytical_two_modes():
@@ -106,11 +106,12 @@ def test_numerical_matches_analytical_two_modes():
     data = build_coalescence_data(spec, ker, (np.inf, np.inf))
     ana = np.asarray(get_coal_ints(data, params))
     num = np.asarray(cn.get_coal_ints_numerical(spec, params, kf))
-    # S-term split differs: analytical assigns all self-collision gain of a
-    # non-last mode below an infinite threshold to S1; numerical splits by
-    # the weighting fn. With threshold=inf S2 -> 0 in the analytical path,
-    # so compare the coupled totals per moment order instead.
-    for m in range(3):
+    # The two paths split self-collision gain between modes differently
+    # (threshold clamp vs weighting function — same as the reference's
+    # Analytical/Numerical styles), so per-mode tendencies and moment orders
+    # that only SOME modes carry are not comparable. Number and mass totals
+    # (every mode prognostic, splitting cancels in the sum) must agree.
+    for m in range(2):
         tot_a = sum(
             ana[spec.dist_moment_ind(i, m)]
             for i in range(2)
@@ -121,4 +122,4 @@ def test_numerical_matches_analytical_two_modes():
             for i in range(2)
             if m < spec.nprogmoms[i]
         )
-        assert tot_n == pytest.approx(tot_a, rel=5e-3, abs=1e-12)
+        assert tot_n == pytest.approx(tot_a, rel=5e-3, abs=1e-8 * np.abs(ana).max())

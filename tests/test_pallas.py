@@ -21,12 +21,20 @@ def _setup(families, thresholds):
 
 
 def _random_moments(spec, B, seed=0):
+    # consistent random states: draw distribution parameters, map to moments
     rng = np.random.default_rng(seed)
-    base = {2: [1e2, 1e1], 3: [1e2, 1e1, 2e0]}
-    cols = []
-    for n in spec.nprogmoms:
-        cols.append(np.asarray(base[n]) * rng.uniform(0.5, 2.0, (B, n)))
-    return np.concatenate(cols, axis=-1)
+    params = np.stack(
+        [
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                 rng.uniform(0.5, 5.0, B)],
+                -1,
+            )
+            for _ in spec.families
+        ],
+        axis=1,
+    )
+    return np.asarray(pd.get_moments(spec, jnp.asarray(params)))
 
 
 def test_pallas_supported_gating():

@@ -14,9 +14,7 @@ def test_lgamma_accuracy():
     )
     got = np.asarray(special.lgamma(jnp.asarray(x)))
     want = ss.gammaln(x)
-    # NOTE: XLA CPU in this environment evaluates f64 exp/transcendentals
-    # at ~f32 accuracy (measured 5e-8 rel); tolerances reflect backend, not algo
-    np.testing.assert_allclose(got, want, rtol=2e-7, atol=1e-8)
+    np.testing.assert_allclose(got, want, rtol=5e-13, atol=1e-12)
 
 
 def test_gammainc_accuracy():
@@ -25,7 +23,7 @@ def test_gammainc_accuracy():
     A, X = np.meshgrid(a, x)
     got = np.asarray(special.gammainc(jnp.asarray(A), jnp.asarray(X)))
     want = ss.gammainc(A, X)
-    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-9)
+    np.testing.assert_allclose(got, want, rtol=5e-12, atol=1e-14)
 
 
 def test_gammainc_extremes():
@@ -46,7 +44,7 @@ def test_gammaincinv_roundtrip():
     A, P = np.meshgrid(a, p)
     x = np.asarray(special.gammaincinv(jnp.asarray(A), jnp.asarray(P)))
     want = ss.gammaincinv(A, P)
-    np.testing.assert_allclose(x, want, rtol=1e-5, atol=1e-30)
+    np.testing.assert_allclose(x, want, rtol=1e-8, atol=1e-280)
 
 
 def test_ndtri():
@@ -64,4 +62,4 @@ def test_special_jit_and_grad():
     g = jax.grad(lambda x: special.gammainc(2.5, x))(1.3)
     # d/dx P(a,x) = x^(a-1) e^-x / Γ(a)
     want = 1.3**1.5 * np.exp(-1.3) / ss.gamma(2.5)
-    np.testing.assert_allclose(float(g), want, rtol=1e-5)
+    np.testing.assert_allclose(float(g), want, rtol=1e-8)
