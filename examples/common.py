@@ -13,6 +13,16 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# honor JAX_PLATFORMS even when the environment preimports jax with a
+# different default (this sandbox pins an axon TPU platform at startup)
+_want = os.environ.get("JAX_PLATFORMS")
+if _want and jax.default_backend() not in _want.split(","):
+    try:
+        jax.config.update("jax_platforms", _want)
+    except RuntimeError:
+        pass
+
 import jax.numpy as jnp
 
 from cloudy_tpu.spec import Family, SpectrumSpec  # noqa: F401 (re-export)
