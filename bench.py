@@ -42,26 +42,43 @@ def main():
         spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=32
     )
 
-    B = int(os.environ.get("BENCH_COLUMNS", 262144))
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    B = int(os.environ.get("BENCH_COLUMNS", 1048576))
     rng = np.random.default_rng(0)
     mom_norms = np.concatenate([1e6 * 1e-9 ** np.arange(3)] * 2)
     base = np.array([1e8, 1e-2, 2e-12, 1.0, 1e-8, 2e-16]) / mom_norms
-    mom = jnp.asarray(
-        base[None, :] * rng.uniform(0.5, 2.0, (B, 6)), dtype
+    # physically consistent per-column variation: joint amplitude and mass
+    # scalings per mode (independent per-moment noise creates degenerate
+    # states whose k-clip amplifies into f32 overflow)
+    amp = np.repeat(rng.uniform(0.5, 2.0, (B, 2)), 3, axis=1)
+    msc = np.repeat(rng.uniform(0.8, 1.25, (B, 2)), 3, axis=1) ** np.tile(
+        np.arange(3.0), 2
     )
+    mom = jnp.asarray(base[None, :] * amp * msc, dtype)
 
     from functools import partial
+
+    if impl == "pallas":
+        from cloudy_tpu.ops import pallas_coalescence as pc
+
+        fn = pc.make_pallas_coal_fn(data, block_cols=4096)
+        mom = mom.T  # structure-of-arrays layout [n_tot, B]
+
+        def rhs_step(mm):
+            return mm + 1e-9 * fn.soa(mm)
+
+    else:
+
+        def rhs_step(mm):
+            dm = get_coal_ints(data, pdists.params_from_moments(spec, mm))
+            return mm + 1e-9 * dm
 
     @partial(jax.jit, static_argnames=("n",))
     def chain(m, n):
         # n sequential RHS evaluations with a data dependency between steps
         # (an Euler relaxation), so no iteration can be elided or overlapped;
         # returns a scalar so the host readback forces full completion.
-        def body(_, mm):
-            dm = get_coal_ints(data, pdists.params_from_moments(spec, mm))
-            return mm + 1e-9 * dm
-
-        out = jax.lax.fori_loop(0, n, body, m)
+        out = jax.lax.fori_loop(0, n, lambda _, mm: rhs_step(mm), m)
         return jnp.sum(out)
 
     # The axon-tunneled runtime's block_until_ready does not reliably wait;
@@ -76,7 +93,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    n1, n2 = 4, 36
+    n1, n2 = 3, 23
     dt = max((timed(n2) - timed(n1)) / (n2 - n1), 1e-12)
 
     updates_per_s = B * spec.n_tot / dt

@@ -184,7 +184,7 @@ def make_pallas_coal_fn(
             log_rem = jnp.log(jnp.maximum(rem, jnp.finfo(dtype).tiny))
 
             # base incomplete gamma P(k, rem) then upward recurrence
-            gi = special.gammainc(k, rem, n_iters=iters)  # [G, TB]
+            gi = special.gammainc_impl(k, rem, n_iters=iters)  # [G, TB]
             gis = [gi]
             for q in range(1, M):
                 a = k + (q - 1.0)

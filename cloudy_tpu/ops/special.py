@@ -125,8 +125,10 @@ def _gammainc_series(a, x, n_iters):
         return total + term, term, ap
 
     term0 = 1.0 / a
+    # fully unrolled: straight-line HLO fuses into one kernel (a rolled loop
+    # materializes the [batch]-shaped carry in HBM every iteration)
     total, _, _ = jax.lax.fori_loop(
-        0, n_iters, body, (term0, term0, a), unroll=False
+        0, n_iters, body, (term0, term0, a), unroll=True
     )
     log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
     return total * exp(log_prefactor)
@@ -154,22 +156,14 @@ def _gammainc_contfrac(a, x, n_iters):
         h = h * d * c
         return h, c, d, b
 
-    h, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (h0, c0, d0, b0), unroll=False)
+    h, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (h0, c0, d0, b0), unroll=True)
     log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
     return exp(log_prefactor) * h
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
-def gammainc(a, x, n_iters: int = 128):
-    """Regularized lower incomplete gamma P(a, x), element-wise.
-
-    Matches Julia's ``gamma_inc(a, x)[1]`` (the reference's workhorse in
-    partial moments and `moment_source_helper`,
-    src/ParticleDistributions/ParticleDistributions.jl:226-285, 557-612).
-
-    Branch-free: evaluates both the series and the continued fraction at a
-    *safe* argument each and selects, so no NaNs leak through `where`.
-    """
+def gammainc_impl(a, x, n_iters: int = 128):
+    """Unjitted body of `gammainc` (call this inside Pallas kernels — a
+    nested pjit does not lower through Mosaic)."""
     a = jnp.asarray(a)
     x = jnp.asarray(x)
     a, x = jnp.broadcast_arrays(a, x)
@@ -191,6 +185,19 @@ def gammainc(a, x, n_iters: int = 128):
     out = jnp.clip(out, 0.0, 1.0)
     # P(a, x <= 0) = 0
     return jnp.where(x > 0.0, out, jnp.zeros_like(out))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def gammainc(a, x, n_iters: int = 128):
+    """Regularized lower incomplete gamma P(a, x), element-wise.
+
+    Matches Julia's ``gamma_inc(a, x)[1]`` (the reference's workhorse in
+    partial moments and `moment_source_helper`,
+    src/ParticleDistributions/ParticleDistributions.jl:226-285, 557-612).
+    Branch-free: evaluates both the series and the continued fraction at a
+    *safe* argument each and selects, so no NaNs leak through `where`.
+    """
+    return gammainc_impl(a, x, n_iters=n_iters)
 
 
 def gammaincc(a, x, n_iters: int = 128):
