@@ -82,10 +82,9 @@ def make_parcel_rhs(config: ParcelConfig):
     return rhs
 
 
-def init_conditions(config: ParcelConfig, kind: str):
+def init_conditions(kind: str, tps: th.ThermoParams = th.ThermoParams()):
     """Reference `init_conditions` (parcel_example.jl:113-145): 200/cc of
     8 μm droplets as monodisperse / gamma(k=2) / exp+gamma mixture."""
-    tps = config.tps
     r0 = 8e-6
     N = 200.0 * 1e6
     m0 = 4.0 / 3.0 * np.pi * r0**3 * tps.rho_w

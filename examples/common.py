@@ -15,9 +15,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 # honor JAX_PLATFORMS even when the environment preimports jax with a
-# different default (this sandbox pins an axon TPU platform at startup)
+# different default (this sandbox pins an axon TPU platform at startup).
+# NB: do NOT call jax.default_backend() before this — querying initializes
+# and locks the backend.
 _want = os.environ.get("JAX_PLATFORMS")
-if _want and jax.default_backend() not in _want.split(","):
+if _want:
     try:
         jax.config.update("jax_platforms", _want)
     except RuntimeError:

@@ -17,9 +17,7 @@ ax1.plot(pm.ROGERS_TIME_SUPERSAT, pm.ROGERS_SUPERSAT, "ko", ms=3, label="Rogers 
 ax2.plot(pm.ROGERS_TIME_RADIUS, pm.ROGERS_RADIUS, "ko", ms=3)
 
 for kind in ["monodisperse", "gamma", "mixture"]:
-    spec, mom0, ml_v = None, None, None
-    config = pm.ParcelConfig(spec=None)
-    spec, mom0, ml_v = pm.init_conditions(config, kind)
+    spec, mom0, ml_v = pm.init_conditions(kind)
     config = pm.ParcelConfig(spec=spec)
     Y0 = pm.initial_state(config, mom0, ml_v)
     ts, ys = pm.run_parcel(config, Y0)

@@ -9,8 +9,7 @@ from cloudy_tpu.models import parcel as pm
 
 
 def _run(kind):
-    config0 = pm.ParcelConfig(spec=None)
-    spec, mom0, ml_v = pm.init_conditions(config0, kind)
+    spec, mom0, ml_v = pm.init_conditions(kind)
     config = pm.ParcelConfig(spec=spec, w=10.0, dt=0.25, t_end=20.0)
     Y0 = pm.initial_state(config, mom0, ml_v, p0=8e4, T0=273.15 + 7.0, S0=1.0)
     ts, ys = pm.run_parcel(config, Y0)
