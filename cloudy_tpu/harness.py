@@ -1,0 +1,190 @@
+"""Scenario harness: the BASELINE.json configurations as runnable configs.
+
+One registry entry per BASELINE scenario (BASELINE.json `configs`), each
+returning a config + runner. `run_scenario(name)` integrates, writes NetCDF
+output and a JSONL metrics log, and returns the trajectory — the framework's
+equivalent of the reference's per-example CI jobs, with observability wired
+in (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cloudy_tpu.spec import Family, SpectrumSpec
+from cloudy_tpu import kernels as K
+from cloudy_tpu.coalescence import build_coalescence_data
+from cloudy_tpu.models import box, rainshaft as rs
+from cloudy_tpu.utils import io, metrics
+
+
+def _scenario_box_single_gamma():
+    """BASELINE configs[0]: 0-D box, single gamma, Golovin kernel, 3 moments."""
+    spec = SpectrumSpec((Family.GAMMA,))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (np.inf,), norms=norms)
+    config = box.BoxConfig(spec=spec, norms=norms, t_end=120.0, dt=1.0)
+    rhs = jax.jit(box.make_box_rhs(config, coal_data=data))
+    mom0 = jnp.asarray([1e8, 1e-2, 2e-12])
+
+    def run():
+        return box.run_box(config, rhs, mom0)
+
+    return {"spec": spec, "config": config, "run": run, "kind": "box"}
+
+
+def _scenario_box_exp_gamma_mixture():
+    """BASELINE configs[1]: 0-D box, exponential+gamma mixture, 5 prognostic
+    moments, constant + linear kernel (summed tensor), finite threshold."""
+    spec = SpectrumSpec((Family.EXPONENTIAL, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    # constant rate chosen so 1/(B·M0) ≈ 50 s — stable at dt = 1 s
+    const = K.CoalescenceTensor.from_function(K.ConstantKernelFunction(2e-10), 1, 1e-6)
+    lin = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    combined = K.CoalescenceTensor(const.array + lin.array)
+    data = build_coalescence_data(spec, combined, (5e-10, np.inf), norms=norms)
+    config = box.BoxConfig(spec=spec, norms=norms, t_end=120.0, dt=1.0)
+    rhs = jax.jit(box.make_box_rhs(config, coal_data=data))
+    mom0 = jnp.asarray([1e8, 1e-2, 1.0, 1e-8, 2e-16])
+
+    def run():
+        return box.run_box(config, rhs, mom0)
+
+    return {"spec": spec, "config": config, "run": run, "kind": "box"}
+
+
+def _scenario_box_long_numerical():
+    """BASELINE configs[2]: 0-D box, Long kernel via numerical quadrature,
+    two-mode closure with parameter inversion."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    kf = K.LongKernelFunction(5.236e-10, 9.44e9, 5.78)
+    config = box.BoxConfig(spec=spec, norms=norms, t_end=60.0, dt=2.0)
+    rhs = jax.jit(box.make_box_rhs(config, kernel_func=kf, numerical=True))
+    mom0 = jnp.asarray([1e7, 1e-3, 2e-13, 1e5, 1e-4, 2e-13])
+
+    def run():
+        return box.run_box(config, rhs, mom0)
+
+    return {"spec": spec, "config": config, "run": run, "kind": "box"}
+
+
+def _scenario_rainshaft_128():
+    """BASELINE configs[3]: 1-D rainshaft, 128 levels, coalescence + upwind
+    sedimentation."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (5e-10, np.inf), norms=norms)
+    config = rs.RainshaftConfig(
+        spec=spec, nz=128, zmax=3000.0, norms=norms, t_end=300.0, dt=1.0,
+        save_every=30,
+    )
+    rhs = jax.jit(rs.make_rainshaft_rhs(config, data))
+    ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
+    ic = np.concatenate([ic1, np.zeros_like(ic1)], axis=-1)
+
+    def run():
+        return rs.run_rainshaft(config, rhs, ic)
+
+    return {"spec": spec, "config": config, "run": run, "kind": "rainshaft"}
+
+
+def _scenario_pod_ensemble(n_columns: int = 1 << 20):
+    """BASELINE configs[4]: column ensemble sharded over the mesh (run on
+    however many devices are present; on a pod slice this spans hosts)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cloudy_tpu.parallel.mesh import make_mesh
+    from cloudy_tpu.parallel.ensemble import ensemble_rainshaft_step
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=32
+    )
+    nz = 32
+    config = rs.RainshaftConfig(
+        spec=spec, nz=nz, zmax=3000.0, norms=norms, t_end=10.0, dt=1.0
+    )
+    rhs = rs.make_rainshaft_rhs(config, data)
+    mesh = make_mesh(("columns",))
+    step = jax.jit(ensemble_rainshaft_step(rhs, config.dt, mesh))
+
+    ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
+    ic = np.concatenate([ic1, np.zeros_like(ic1)], axis=-1)
+    n_dev = len(mesh.devices.flat)
+    n_cols = max(n_columns // n_dev, 1) * n_dev
+    state = jnp.asarray(np.tile(ic[None], (n_cols, 1, 1)), jnp.float32)
+    state = jax.device_put(state, NamedSharding(mesh, P("columns")))
+
+    def run():
+        y = state
+        n_steps = int(round(config.t_end / config.dt))
+        for _ in range(n_steps):
+            y = step(y)
+        jax.block_until_ready(y)
+        return jnp.arange(n_steps + 1.0), y[None]
+
+    return {"spec": spec, "config": config, "run": run, "kind": "ensemble"}
+
+
+SCENARIOS: Dict[str, Callable] = {
+    "box_single_gamma_golovin": _scenario_box_single_gamma,
+    "box_exp_gamma_mixture": _scenario_box_exp_gamma_mixture,
+    "box_long_numerical": _scenario_box_long_numerical,
+    "rainshaft_128": _scenario_rainshaft_128,
+    "pod_ensemble": _scenario_pod_ensemble,
+}
+
+
+def run_scenario(name: str, outdir: Optional[str] = None):
+    """Build, run, log and write outputs for one named scenario."""
+    sc = SCENARIOS[name]()
+    timer = metrics.StepTimer()
+    t0 = time.perf_counter()
+    ts, ys = sc["run"]()
+    jax.block_until_ready(ys)
+    wall = time.perf_counter() - t0
+
+    ts_np, ys_np = np.asarray(ts), np.asarray(ys)
+    report = {
+        "scenario": name,
+        "wall_s": wall,
+        "finite": bool(np.all(np.isfinite(ys_np))),
+    }
+    if sc["kind"] in ("box", "rainshaft"):
+        report.update(
+            metrics.conservation_report(sc["spec"], jnp.asarray(ys_np[-1]))
+        )
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        if sc["kind"] == "box":
+            io.box_output(
+                os.path.join(outdir, f"{name}.nc"), sc["spec"], ts_np, ys_np,
+                sc["config"].norms,
+            )
+        elif sc["kind"] == "rainshaft":
+            io.rainshaft_output(
+                os.path.join(outdir, f"{name}.nc"), sc["spec"], ts_np,
+                sc["config"].z, ys_np, sc["config"].norms,
+            )
+        metrics.JsonlLogger(os.path.join(outdir, "runs.jsonl")).log(report)
+    return ts_np, ys_np, report
+
+
+if __name__ == "__main__":
+    import sys
+
+    names = sys.argv[1:] or ["box_single_gamma_golovin"]
+    for n in names:
+        _, _, rep = run_scenario(n, outdir="scenario_output")
+        print(rep)
