@@ -39,7 +39,7 @@ def main():
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
     data = build_coalescence_data(
-        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=32
+        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12
     )
 
     impl = os.environ.get("BENCH_IMPL", "pallas")
