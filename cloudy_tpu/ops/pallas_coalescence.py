@@ -92,15 +92,38 @@ def _static_grid(threshold: float, n_bins_per_log_unit: int = 15):
     return x, w * mask, dx
 
 
+def _static_grid_gauss(threshold: float, n_nodes: int = 24):
+    """Gauss–Legendre nodes in log-x on the same interval as the reference
+    grid — ~3x fewer quadrature points at better-than-Simpson accuracy (the
+    fast-path rule; the f64 reference-parity path keeps the Simpson grid).
+    The log-space Jacobian is folded into the weights; `dx` returns 1."""
+    t = float(threshold)
+    x_lo = min(1e-5, 1e-5 * t)
+    u, wu = np.polynomial.legendre.leggauss(n_nodes)
+    a, b = np.log(x_lo), np.log(t)
+    uu = a + 0.5 * (b - a) * (u + 1.0)
+    x = np.exp(uu)
+    # NB: the kernel's integrand rows are x^{p+k}·e^{-x/θ} — the log-space
+    # Jacobian x is already folded into the power (as in the reference
+    # Simpson formulation), so the weights carry only the interval scale.
+    w = 0.5 * (b - a) * wu
+    return x, w, 1.0
+
+
 def make_pallas_coal_fn(
     data: CoalescenceData,
     block_cols: int = 512,
     interpret: bool = False,
     gammainc_iters: Optional[int] = None,
+    quad_rule: str = "reference",
+    gauss_nodes: int = 24,
 ):
     """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` running the fused
     kernel. ``B`` must be a multiple of `block_cols`. Use
-    ``interpret=True`` for CPU testing."""
+    ``interpret=True`` for CPU testing. ``quad_rule``: "reference" keeps
+    the reference's 76-point Simpson log grid; "gauss" uses `gauss_nodes`
+    Gauss–Legendre points on the same interval (~3x fewer integrand
+    evaluations at better accuracy — the fast path)."""
     if not pallas_supported(data):
         raise ValueError("configuration not supported by the Pallas kernel")
     spec = data.spec
@@ -111,15 +134,18 @@ def make_pallas_coal_fn(
     wb_nz = _wb_nonzeros(data)
     wf_nz = _wf_nonzeros(data)
 
-    # static Simpson grids per thresholded mode — passed as kernel INPUTS
+    # static quadrature grids per thresholded mode — passed as kernel INPUTS
     # (Pallas forbids captured array constants); row 0 = x nodes, row 1 =
-    # masked Simpson weights.
+    # weights (masked Simpson or GL).
     grids = {}
     grid_inputs = []
     thresholded_modes = []
     for i in range(N):
         if i < N - 1 and np.isfinite(data.thresholds[i]):
-            x_np, w_np, dx = _static_grid(data.thresholds[i])
+            if quad_rule == "gauss":
+                x_np, w_np, dx = _static_grid_gauss(data.thresholds[i], gauss_nodes)
+            else:
+                x_np, w_np, dx = _static_grid(data.thresholds[i])
             grids[i] = (x_np.shape[0], dx)
             grid_inputs.append(np.stack([x_np, w_np]))
             thresholded_modes.append(i)
