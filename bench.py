@@ -61,7 +61,9 @@ def main():
     if impl == "pallas":
         from cloudy_tpu.ops import pallas_coalescence as pc
 
-        fn = pc.make_pallas_coal_fn(data, block_cols=4096)
+        fn = pc.make_pallas_coal_fn(
+            data, block_cols=4096, quad_rule="gauss", gauss_nodes=16
+        )
         mom = mom.T  # structure-of-arrays layout [n_tot, B]
 
         def rhs_step(mm):

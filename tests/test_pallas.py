@@ -78,3 +78,21 @@ def test_pallas_degenerate_columns():
     )
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(got[1:], 0.0)
+
+
+def test_pallas_gauss_rule_close_to_reference_rule():
+    """The Gauss fast-path quadrature must agree with the reference-grid
+    Simpson evaluation to well below the physics tolerance."""
+    spec, data = _setup((Family.GAMMA, Family.GAMMA), (5e-10, np.inf))
+    B = 128
+    mom = jnp.asarray(_random_moments(spec, B, seed=5))
+    ref = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
+    fast = pc.make_pallas_coal_fn(
+        data, block_cols=128, interpret=True, quad_rule="gauss", gauss_nodes=16
+    )
+    a = np.asarray(ref(mom))
+    b = np.asarray(fast(mom))
+    scale = np.abs(a).max(axis=0, keepdims=True)
+    rel = np.abs(a - b) / (np.abs(a) + 1e-6 * scale)
+    assert np.median(rel) < 1e-4
+    assert np.quantile(rel, 0.99) < 5e-3
