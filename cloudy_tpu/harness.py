@@ -37,7 +37,14 @@ def _scenario_box_single_gamma():
     def run():
         return box.run_box(config, rhs, mom0)
 
-    return {"spec": spec, "config": config, "run": run, "kind": "box"}
+    return {
+        "spec": spec,
+        "config": config,
+        "run": run,
+        "kind": "box",
+        "data": data,
+        "mom0": mom0,
+    }
 
 
 def _scenario_box_exp_gamma_mixture():
@@ -57,7 +64,14 @@ def _scenario_box_exp_gamma_mixture():
     def run():
         return box.run_box(config, rhs, mom0)
 
-    return {"spec": spec, "config": config, "run": run, "kind": "box"}
+    return {
+        "spec": spec,
+        "config": config,
+        "run": run,
+        "kind": "box",
+        "data": data,
+        "mom0": mom0,
+    }
 
 
 def _scenario_box_long_numerical():
@@ -77,6 +91,7 @@ def _scenario_box_long_numerical():
 
 
 def _scenario_rainshaft_128():
+
     """BASELINE configs[3]: 1-D rainshaft, 128 levels, coalescence + upwind
     sedimentation."""
     spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
