@@ -69,6 +69,19 @@ def main():
         def rhs_step(mm):
             return mm + 1e-9 * fn.soa(mm)
 
+    elif impl == "pallas_numerical":
+        # direct SCE quadrature with the Long kernel function (BASELINE
+        # configs[2] hot path) — fused Pallas, kink-aware panels
+        from cloudy_tpu.ops import pallas_numerical as pnum
+
+        B = int(os.environ.get("BENCH_COLUMNS", 262144))
+        mom = mom[:B].T
+        kf = K.LongKernelFunction(5.236e-10, 9.44e9, 5.78).normalized(norms)
+        fn = pnum.make_pallas_numerical_fn(spec, kf, block_cols=512)
+
+        def rhs_step(mm):
+            return mm + 1e-9 * fn.soa(mm)
+
     else:
 
         def rhs_step(mm):

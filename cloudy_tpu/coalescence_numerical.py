@@ -54,7 +54,9 @@ def support_bounds(spec: SpectrumSpec, params) -> Tuple[jnp.ndarray, jnp.ndarray
     x_lo = jnp.minimum(jnp.stack(los, -1).min(-1), 1e30)
     x_hi = jnp.maximum(jnp.stack(his, -1).max(-1), 1e-30)
     x_lo = jnp.minimum(x_lo, x_hi * 1e-12)
-    return x_lo, 2.0 * x_hi
+    # keep the log-grid finite in f32 for all-empty states (no-op in f64)
+    tiny = jnp.finfo(dtype).tiny
+    return jnp.maximum(x_lo, tiny), jnp.maximum(2.0 * x_hi, 4.0 * tiny)
 
 
 def _densities_all(spec, params, x):
@@ -108,21 +110,77 @@ def get_coal_ints_numerical(
     dtype = params.dtype
     n_mom = max(spec.nprogmoms)
 
+    # kernel non-smoothness: split quadrature panels at each kink (and at 2x
+    # each kink, where the triangular inner integral's breakpoints cross) so
+    # the fixed Gauss rule keeps spectral convergence (the reference's
+    # adaptive quadgk handles these by subdivision). `n_outer`/`n_inner`
+    # stay the TOTAL node budgets — they are divided among the panels.
+    kinks = tuple(float(t) for t in getattr(kernel_func, "x_kinks", ()))
+
     x_lo, x_hi = support_bounds(spec, params)
 
     # outer log grid: x = exp(u), Jacobian folded into weights
-    xu, wu = gauss_legendre(n_outer)
-    xu = jnp.asarray(xu, dtype)
-    wu = jnp.asarray(wu, dtype)
-    lo, hi = jnp.log(x_lo)[..., None], jnp.log(x_hi)[..., None]
-    U = lo + 0.5 * (hi - lo) * (xu + 1.0)
-    X = jnp.exp(U)  # [..., Gx]
-    WX = 0.5 * (hi - lo) * wu * X
+    if kinks:
+        outer_cuts = sorted({c for t in kinks for c in (t, 2.0 * t)})
+        n_po = len(outer_cuts) + 1
+        xu, wu = gauss_legendre(max(n_outer // n_po, 8))
+        xu = jnp.asarray(xu, dtype)
+        wu = jnp.asarray(wu, dtype)
+        lo, hi = jnp.log(x_lo)[..., None], jnp.log(x_hi)[..., None]
+        edges = (
+            [lo]
+            + [jnp.clip(jnp.log(jnp.asarray(c, dtype)), lo, hi) for c in outer_cuts]
+            + [hi]
+        )
+        Xp, Wp = [], []
+        for a, b in zip(edges[:-1], edges[1:]):
+            u = a + 0.5 * (b - a) * (xu + 1.0)
+            Xp.append(jnp.exp(u))
+            Wp.append(0.5 * (b - a) * wu * jnp.exp(u))
+        X = jnp.concatenate(Xp, axis=-1)  # [..., Gx]
+        WX = jnp.concatenate(Wp, axis=-1)
+    else:
+        xu, wu = gauss_legendre(n_outer)
+        xu = jnp.asarray(xu, dtype)
+        wu = jnp.asarray(wu, dtype)
+        lo, hi = jnp.log(x_lo)[..., None], jnp.log(x_hi)[..., None]
+        U = lo + 0.5 * (hi - lo) * (xu + 1.0)
+        X = jnp.exp(U)  # [..., Gx]
+        WX = 0.5 * (hi - lo) * wu * X
 
-    # inner scaled grid s ∈ (0, 1): y = s x
-    su, ws = gauss_legendre(n_inner)
-    S = jnp.asarray(0.5 * (su + 1.0), dtype)  # (0,1)
-    WS = jnp.asarray(0.5 * ws, dtype)
+    # inner scaled grid s ∈ (0, 1): y = s x. With kinks, the inner integrand
+    # breaks at y = t and y = x − t, i.e. s = t/x and 1 − t/x — per-x panel
+    # edges [..., Gx, n_panels+1], nodes/weights [..., Gx, Gs_total].
+    if kinks:
+        n_pi = 2 * len(kinks) + 1
+        su, ws = gauss_legendre(max(n_inner // n_pi, 8))
+        su = jnp.asarray(0.5 * (np.asarray(su) + 1.0), dtype)  # (0,1)
+        ws = jnp.asarray(0.5 * np.asarray(ws), dtype)
+        cuts = jnp.sort(
+            jnp.stack(
+                [
+                    jnp.clip(c, 0.0, 1.0)
+                    for t in kinks
+                    for c in (t / X, 1.0 - t / X)
+                ],
+                axis=-1,
+            ),
+            axis=-1,
+        )  # [..., Gx, 2*n_kinks]
+        zeros = jnp.zeros_like(X)[..., None]
+        iedges = jnp.concatenate([zeros, cuts, zeros + 1.0], axis=-1)
+        Sp, Wsp = [], []
+        for pidx in range(n_pi):
+            a = iedges[..., pidx, None]
+            b = iedges[..., pidx + 1, None]
+            Sp.append(a + (b - a) * su)
+            Wsp.append((b - a) * ws)
+        S = jnp.concatenate(Sp, axis=-1)  # [..., Gx, Gs]
+        WS = jnp.concatenate(Wsp, axis=-1)
+    else:
+        su, ws = gauss_legendre(n_inner)
+        S = jnp.asarray(0.5 * (su + 1.0), dtype)  # (0,1)
+        WS = jnp.asarray(0.5 * ws, dtype)
 
     F = _densities_all(spec, params, X)  # [..., N, Gx]
     NF = _normed_densities_all(spec, params, X)

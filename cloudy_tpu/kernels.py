@@ -41,6 +41,13 @@ class KernelFunction:
         `get_normalized_kernel_func`, src/Kernels/KernelFunctions.jl:124-154)."""
         raise NotImplementedError
 
+    @property
+    def x_kinks(self) -> Tuple[float, ...]:
+        """Mass coordinates where K is non-smooth. Quadrature paths split
+        integration panels at these points (and the induced inner-integral
+        breakpoints) so fixed-node Gauss rules keep spectral convergence."""
+        return ()
+
 
 @dataclasses.dataclass(frozen=True)
 class ConstantKernelFunction(KernelFunction):
@@ -113,6 +120,10 @@ class LongKernelFunction(KernelFunction):
             self.coal_rate_below_threshold * norms[0] * norms[1] ** 2,
             self.coal_rate_above_threshold * norms[0] * norms[1],
         )
+
+    @property
+    def x_kinks(self):
+        return (self.x_threshold,)
 
 
 def get_normalized_kernel_func(kern: KernelFunction, norms) -> KernelFunction:
