@@ -61,7 +61,11 @@ def initial_condition(z, mom_amp):
     return at[:, None] * np.asarray(mom_amp)[None, :]
 
 
-def make_rainshaft_rhs(config: RainshaftConfig, coal_data: Optional[CoalescenceData]):
+def make_rainshaft_rhs(
+    config: RainshaftConfig,
+    coal_data: Optional[CoalescenceData],
+    coal_fn=None,
+):
     """RHS over physical moments ``[..., nz, n_tot]``.
 
     Replicates rainshaft_helpers.jl:45-89: clip negative moments to zero,
@@ -69,6 +73,12 @@ def make_rainshaft_rhs(config: RainshaftConfig, coal_data: Optional[CoalescenceD
     sedimentation flux, upwind divergence with zero flux at the top.
     ``coal_data=None`` gives a pure-sedimentation column (the validation
     case with a semi-analytic solution).
+
+    ``coal_fn`` overrides the XLA coalescence path with a batched
+    ``mom_norm [B, n_tot] -> [B, n_tot]`` tendency function — e.g. a fused
+    Pallas kernel (ops.pallas_coalescence / ops.pallas_numerical); the
+    flattened batch (ensemble × nz) must then be a multiple of the kernel's
+    ``block_cols``.
     """
     spec = config.spec
     mom_norms = get_moments_normalizing_factors(spec.nprogmoms, config.norms)
@@ -84,7 +94,12 @@ def make_rainshaft_rhs(config: RainshaftConfig, coal_data: Optional[CoalescenceD
         mom_n = mom / norm
         params = pdists.params_from_moments(spec, mom_n)
 
-        if coal_data is not None:
+        if coal_fn is not None:
+            flat = mom_n.reshape(-1, spec.n_tot)
+            coal = coal_fn(flat).reshape(mom_n.shape) * norm
+            empty = jnp.all(mom_n < eps, axis=-1, keepdims=True)
+            coal = jnp.where(empty, 0.0, coal)
+        elif coal_data is not None:
             coal = get_coal_ints(coal_data, params) * norm
             # empty-cell skip (:67-68): zero the source where every moment of
             # the level is below eps

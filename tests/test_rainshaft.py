@@ -114,3 +114,28 @@ def test_column_ensemble_batching():
     out = np.asarray(rhs(batch, 0.0))
     single0 = np.asarray(rhs(jnp.asarray(ic), 0.0))
     np.testing.assert_allclose(out[0], single0, rtol=1e-13)
+
+
+def test_rainshaft_coal_fn_matches_xla_path():
+    """The `coal_fn` hook (fused Pallas kernel, interpret mode) reproduces
+    the XLA coalescence path inside the full rainshaft RHS — the production
+    TPU configuration for the pod-scale ensemble."""
+    from cloudy_tpu.ops import pallas_coalescence as pc
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (5e-10, np.inf), norms=norms)
+    config = rs.RainshaftConfig(spec=spec, nz=8, zmax=3000.0, norms=norms)
+
+    rhs_xla = rs.make_rainshaft_rhs(config, data)
+    fn = pc.make_pallas_coal_fn(data, block_cols=16, interpret=True)
+    rhs_pallas = rs.make_rainshaft_rhs(config, data, coal_fn=fn)
+
+    ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
+    ic = np.concatenate([ic1, 0.5 * ic1], axis=-1)
+    state = jnp.asarray(np.stack([ic, 2.0 * ic]))  # [2, nz, n_tot]
+
+    want = np.asarray(rhs_xla(state, 0.0))
+    got = np.asarray(rhs_pallas(state, 0.0))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
