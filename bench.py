@@ -62,7 +62,11 @@ def main():
         from cloudy_tpu.ops import pallas_coalescence as pc
 
         fn = pc.make_pallas_coal_fn(
-            data, block_cols=4096, quad_rule="gauss", gauss_nodes=16
+            data,
+            block_cols=int(os.environ.get("BENCH_BLOCK_COLS", 4096)),
+            quad_rule="gauss",
+            gauss_nodes=int(os.environ.get("BENCH_GAUSS_NODES", 12)),
+            gammainc_iters=int(os.environ.get("BENCH_GAMMAINC_ITERS", 8)),
         )
         mom = mom.T  # structure-of-arrays layout [n_tot, B]
 
