@@ -217,9 +217,18 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     reference ParticleDistributions.jl:567-612).
 
     Shapes: params [...] scalars; returns [..., M, M]. The incomplete gammas
-    for consecutive orders use the stable downward identity
-    P(a+1, x) = P(a, x) − x^a e^{−x} / Γ(a+1), so only ONE continued-fraction
-    evaluation per grid point is needed.
+    for consecutive orders use the *downward* recurrence
+
+        P(a, x) = P(a+1, x) + x^a e^{−x} / Γ(a+1):
+
+    one continued-fraction / series evaluation at the TOP order a = k+M−1 per
+    grid point, then M−1 additions of positive Poisson terms — forward-stable
+    at every order (the upward variant subtracts and loses ~1.5 digits per
+    order where x ≪ a; pinned by
+    tests/test_coalescence.py::test_gammainc_downward_recurrence_m_scaling at
+    M = 8). The Poisson terms delta(a) = x^a e^{−x}/Γ(a+1) are built upward
+    multiplicatively (delta(a+1) = delta(a) · x/(a+1), no divisions by x), so
+    the whole chain costs one exp/lgamma.
     """
     dtype = theta.dtype
     x, dx, n_bins = threshold_log_grid(thr, n_points_max, dtype)
@@ -231,17 +240,21 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     rem = jnp.maximum(thr[..., None] - x, 0.0) / th
     logx = jnp.log(x)
 
-    # base row q = 0: a = k
     a0 = k[..., None]
-    gi = special.gammainc(a0, rem, n_iters=iters)
     log_rem = jnp.log(jnp.maximum(rem, jnp.finfo(dtype).tiny))
+    # Poisson terms delta(a0+q) for q = 0..M−2, upward multiplicative chain
+    delta = special.exp(a0 * log_rem - rem - special.lgamma(a0 + 1.0))
+    delta = jnp.where(rem > 0.0, delta, 0.0)
+    deltas = [delta]
+    for q in range(1, M - 1):
+        deltas.append(deltas[-1] * rem / (a0 + q))
+    # top order directly, then accumulate downward
+    gi = special.gammainc(a0 + (M - 1.0), rem, n_iters=iters)
     gis = [gi]
-    for q in range(1, M):
-        a = a0 + (q - 1.0)
-        delta = special.exp(a * log_rem - rem - special.lgamma(a + 1.0))
-        delta = jnp.where(rem > 0.0, delta, 0.0)
-        gi = jnp.clip(gi - delta, 0.0, 1.0)
+    for q in range(M - 2, -1, -1):
+        gi = jnp.clip(gi + deltas[q], 0.0, 1.0)
         gis.append(gi)
+    gis.reverse()
     GI = jnp.stack(gis, axis=-2)  # [..., M(q), G]
 
     # integrand rows: Y[p] = w · mask · x^{p+k} e^{−x/θ}

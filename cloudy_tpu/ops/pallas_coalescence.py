@@ -209,20 +209,32 @@ def make_pallas_coal_fn(
             rem = jnp.maximum(T - x, 0.0) * inv_theta  # [G, TB]
             log_rem = jnp.log(jnp.maximum(rem, jnp.finfo(dtype).tiny))
 
-            # base incomplete gamma P(k, rem) then upward recurrence
-            gi = special.gammainc_impl(k, rem, n_iters=iters)  # [G, TB]
+            # incomplete gamma at the TOP order, then the forward-stable
+            # downward recurrence P(a, x) = P(a+1, x) + x^a e^{−x}/Γ(a+1)
+            # (additions of positive Poisson terms — no cancellation; see
+            # coalescence._msh_matrix_gamma). One CF/series + one exp/lgamma
+            # chain total per grid point.
+            delta = special.exp(k * log_rem - rem - special.lgamma(k + 1.0))
+            delta = jnp.where(rem > 0.0, delta, 0.0)
+            deltas = [delta]
+            for q in range(1, M - 1):
+                deltas.append(deltas[-1] * rem / (k + q))
+            gi = special.gammainc_impl(k + (M - 1.0), rem, n_iters=iters)
             gis = [gi]
-            for q in range(1, M):
-                a = k + (q - 1.0)
-                delta = special.exp(a * log_rem - rem - special.lgamma(a + 1.0))
-                delta = jnp.where(rem > 0.0, delta, 0.0)
-                gi = jnp.clip(gi - delta, 0.0, 1.0)
+            for q in range(M - 2, -1, -1):
+                gi = jnp.clip(gi + deltas[q], 0.0, 1.0)
                 gis.append(gi)
+            gis.reverse()
 
             # integrand rows Y_p = w · x^{p+k} e^{-x/θ}
             base = special.exp(k * logx - x * inv_theta) * w  # [G, TB]
             lgk = special.lgamma(k)
             logth = jnp.log(theta)
+            # per-q prefactor n² θ^{q−k} Γ(q+k)/Γ(k)², advanced
+            # multiplicatively from q = 0 (pref_{q+1} = pref_q · θ (k+q))
+            prefs = [(n * n) * special.exp(-k * logth - lgk)]
+            for q in range(1, M):
+                prefs.append(prefs[-1] * theta * (k + q - 1.0))
             mm_rows = mf[i]
             f2i = {}
             ypow = base
@@ -233,10 +245,7 @@ def make_pallas_coal_fn(
                     if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
                         continue
                     raw = jnp.sum(ypow * gis[q], axis=0, keepdims=True) * dx
-                    pref = (n * n) * special.exp(
-                        (q - k) * logth + special.lgamma(q + k) - 2.0 * lgk
-                    )
-                    msh = raw * pref
+                    msh = raw * prefs[q]
                     mm = mm_rows[p] * mm_rows[q]
                     val = jnp.minimum(mm, msh)
                     val = jnp.where(mm < eps, 0.0, val)

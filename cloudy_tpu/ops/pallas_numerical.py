@@ -31,15 +31,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cloudy_tpu.spec import Family
+from cloudy_tpu.distributions import GAMMA_K_RANGE
 from cloudy_tpu.ops import special
 from cloudy_tpu.ops.gauss import gauss_legendre
 
 _SQRT2PI = float(np.sqrt(2.0 * np.pi))
 
 
-def _invert_rows(fam: Family, rows, eps):
+def _invert_rows(fam: Family, rows, eps, gamma_k_range=GAMMA_K_RANGE):
     """Closure inversion on [1, TB] row tiles (mirrors
-    distributions._invert_* / reference ParticleDistributions.jl:456-541)."""
+    distributions._invert_* / reference ParticleDistributions.jl:456-541).
+    `gamma_k_range` clips the gamma shape parameter; None bounds resolve to
+    (eps, +inf) as in distributions._invert_gamma."""
     m0, m1 = rows[0], rows[1]
     valid = (m0 > eps) & (m1 > eps)
     m0s = jnp.where(valid, m0, 1.0)
@@ -50,11 +53,13 @@ def _invert_rows(fam: Family, rows, eps):
         return n, p1, jnp.zeros_like(p1)
     m2 = rows[2]
     if fam == Family.GAMMA:
+        k_lo = eps if gamma_k_range[0] is None else gamma_k_range[0]
+        k_hi = np.inf if gamma_k_range[1] is None else gamma_k_range[1]
         m2s = jnp.where(valid, m2, 2.0)
         mean = m1s / m0s
         denom = m2s / m1s - mean
         denom = jnp.where(jnp.abs(denom) > 0, denom, eps)
-        k = jnp.clip(mean / denom, eps, 10.0)
+        k = jnp.clip(mean / denom, k_lo, k_hi)
         theta = mean / k
         n = jnp.where(valid, m0, 0.0)
         return n, jnp.where(valid, theta, 1.0), jnp.where(valid, k, 1.0)
@@ -127,17 +132,24 @@ def make_pallas_numerical_fn(
     n_inner: int = 48,
     block_cols: int = 512,
     interpret: bool = False,
+    gamma_k_range=GAMMA_K_RANGE,
 ):
     """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` of coalescence
     tendencies by direct quadrature of the SCE with `kernel_func` (an
     already-*normalized* kernel function, cf. box.make_box_rhs).
 
-    ``n_outer``/``n_inner`` are total node budgets, divided among the
-    kink-aware panels. The (96, 48) defaults are converged to ~1e-5 relative
-    on the BASELINE Long-kernel scenario (the panelized rule gains >1000x
-    accuracy over an unpanelized rule of the same budget); the parity test
-    uses identical counts on both paths. ``fn.soa`` takes/returns the
-    transposed ``[n_tot, B]`` structure-of-arrays layout.
+    ``n_outer``/``n_inner`` are total node budgets, divided EVENLY among the
+    kink-aware panels: with a kinked kernel (Long), the outer budget splits
+    into 3 panels (32 effective nodes each at the default 96) and the inner
+    into 3 (16 each at 48), regardless of where a column's support lies — a
+    column entirely below/above the kink clips two panels to zero width, so
+    its effective resolution is ~1/3 of the budget. The (96, 48) defaults are
+    converged to ~1e-5 relative on the BASELINE Long-kernel scenario with
+    mass-conservation error ~1e-10 *including* that reduction (the panelized
+    rule still gains >1000x accuracy over an unpanelized rule of the same
+    budget); raise the budgets for near-singular gamma modes (k ≪ 1). The
+    parity test uses identical counts on both paths. ``fn.soa`` takes/returns
+    the transposed ``[n_tot, B]`` structure-of-arrays layout.
     """
     N = spec.n_modes
     n_tot = spec.n_tot
@@ -177,7 +189,7 @@ def make_pallas_numerical_fn(
                 mom_ref[o + j, :].reshape(1, TB)
                 for j in range(spec.nprogmoms[i])
             ]
-            params.append(_invert_rows(fam, rows, eps))
+            params.append(_invert_rows(fam, rows, eps, gamma_k_range))
 
         # ---- per-column support bounds -----------------------------------
         x_lo = jnp.full((1, TB), jnp.inf, dtype)

@@ -190,3 +190,64 @@ def test_empty_mode_gives_zero_tendency():
     mom = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
     out = np.asarray(get_coal_ints(data, _params(spec, mom)))
     np.testing.assert_array_equal(out, np.zeros(6))
+
+
+def test_gammainc_downward_recurrence_m_scaling():
+    """The F2 matrix evaluates incomplete gammas at M consecutive orders via
+    the downward recurrence P(a,x) = P(a+1,x) + x^a e^{−x}/Γ(a+1) — additions
+    of positive terms, so no cancellation at any order. This pins the
+    accumulated error at M = 8 (vs the typical production M = 4) against a
+    fully independent scipy evaluation at every order, so the recurrence's
+    error growth is bounded by a test rather than by the [0,1] clip (the
+    *upward* subtractive variant loses ~1.5 digits per order and failed a
+    1e-8 gate at M = 8; see coalescence._msh_matrix_gamma)."""
+    from scipy import special as sps
+
+    from cloudy_tpu.coalescence import _msh_matrix_gamma
+    from cloudy_tpu.distributions import threshold_log_grid
+    from cloudy_tpu.ops.simpson import simpson_even_fast_weights_dynamic
+
+    M, n_points_max = 8, 128
+    rng = np.random.default_rng(3)
+    B = 64
+    n = jnp.asarray(rng.uniform(10.0, 200.0, B))
+    theta = jnp.asarray(rng.uniform(1e-3, 5.0, B))
+    k = jnp.asarray(rng.uniform(2**-20, 10.0, B))
+    thr = jnp.asarray(rng.uniform(0.05, 50.0, B))
+
+    got = np.asarray(_msh_matrix_gamma(n, theta, k, thr, M, n_points_max, 128))
+
+    # independent evaluation: scipy gammainc at every order q (no recurrence)
+    dtype = theta.dtype
+    x, dx, n_bins = threshold_log_grid(thr, n_points_max, dtype)
+    x, dx = np.asarray(x), np.asarray(dx)
+    w = np.asarray(simpson_even_fast_weights_dynamic(n_points_max, n_bins, dtype))
+    mask = np.arange(1, n_points_max + 1) <= np.asarray(n_bins)[..., None]
+    kn, thn, nn = np.asarray(k), np.asarray(theta), np.asarray(n)
+    rem = np.maximum(np.asarray(thr)[..., None] - x, 0.0) / thn[..., None]
+    GI = np.stack(
+        [sps.gammainc(kn[..., None] + q, rem) for q in range(M)], axis=-2
+    )
+    logx = np.log(x)
+    Y = np.stack(
+        [
+            np.exp((kn[..., None] + p) * logx - x / thn[..., None]) * w * mask
+            for p in range(M)
+        ],
+        axis=-2,
+    )
+    raw = np.einsum("...pg,...qg->...pq", Y, GI) * dx[..., None, None]
+    q = np.arange(M, dtype=np.float64)
+    pref = (nn[..., None] ** 2) * np.exp(
+        (q - kn[..., None]) * np.log(thn[..., None])
+        + sps.gammaln(q + kn[..., None])
+        - 2.0 * sps.gammaln(kn)[..., None]
+    )
+    want = raw * pref[..., None, :]
+
+    scale = np.abs(want).max(axis=(-1, -2), keepdims=True)
+    abs_err = np.abs(got - want)
+    assert (abs_err / scale).max() < 1e-12, (abs_err / scale).max()
+    significant = np.abs(want) > 1e-6 * scale
+    rel = abs_err / np.maximum(np.abs(want), 1e-300)
+    assert rel[significant].max() < 1e-10, rel[significant].max()
