@@ -24,6 +24,14 @@ import numpy as np
 
 REFERENCE_MOMENT_UPDATES_PER_S = 2.94e4  # see module docstring
 
+# The exact fast-path quadrature configuration benched on-chip. Accuracy at
+# THIS configuration is gated by tests/test_golden.py::
+# test_pallas_gauss_trajectory_allclose[bench] (max trajectory error 1.1e-4
+# vs the stored f64 reference-parity trajectory; 8 gammainc iterations fail
+# the 1e-3 gate at 1.8e-3 and are therefore not used).
+BENCH_GAUSS_NODES = 12
+BENCH_GAMMAINC_ITERS = 12
+
 
 def main():
     import jax
@@ -65,8 +73,10 @@ def main():
             data,
             block_cols=int(os.environ.get("BENCH_BLOCK_COLS", 4096)),
             quad_rule="gauss",
-            gauss_nodes=int(os.environ.get("BENCH_GAUSS_NODES", 12)),
-            gammainc_iters=int(os.environ.get("BENCH_GAMMAINC_ITERS", 8)),
+            gauss_nodes=int(os.environ.get("BENCH_GAUSS_NODES", BENCH_GAUSS_NODES)),
+            gammainc_iters=int(
+                os.environ.get("BENCH_GAMMAINC_ITERS", BENCH_GAMMAINC_ITERS)
+            ),
         )
         mom = mom.T  # structure-of-arrays layout [n_tot, B]
 

@@ -248,8 +248,9 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     deltas = [delta]
     for q in range(1, M - 1):
         deltas.append(deltas[-1] * rem / (a0 + q))
-    # top order directly, then accumulate downward
-    gi = special.gammainc(a0 + (M - 1.0), rem, n_iters=iters)
+    # top order directly, then accumulate downward (log_rem shared with the
+    # Poisson-term chain above)
+    gi = special.gammainc_impl(a0 + (M - 1.0), rem, n_iters=iters, log_x=log_rem)
     gis = [gi]
     for q in range(M - 2, -1, -1):
         gi = jnp.clip(gi + deltas[q], 0.0, 1.0)
@@ -278,11 +279,14 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     return raw * pref[..., None, :]
 
 
-def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int):
+def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int,
+                          erf_iters: int = 128):
     """Same reduction for a lognormal mode: inner integral is the exact
     partial moment n exp(qμ + q²σ²/2) Φ((ln(T−x) − μ − qσ²)/σ); outer
     integral on the reference log grid (the reference used nested adaptive
-    quadrature, ParticleDistributions.jl:614-625)."""
+    quadrature, ParticleDistributions.jl:614-625). Φ is evaluated through
+    `special.erf_impl` — the Pallas-safe erf — so this XLA path and the fused
+    Pallas kernel are bit-identical."""
     dtype = mu.dtype
     x, dx, n_bins = threshold_log_grid(thr, n_points_max, dtype)
     w = simpson_even_fast_weights_dynamic(n_points_max, n_bins, dtype)
@@ -304,7 +308,7 @@ def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int):
     )
     pm = special.exp(
         q * mu_[..., None, :] + 0.5 * q**2 * sig_[..., None, :] ** 2
-    ) * 0.5 * (1.0 + special.erf(z))
+    ) * 0.5 * (1.0 + special.erf_impl(z, n_iters=erf_iters))
     pm = jnp.where(rem[..., None, :] > 0.0, pm, 0.0)  # [..., M(q), G]
 
     ys = [x * fx * w * mask]
@@ -371,7 +375,8 @@ def get_finite_2d_integrals(
                 )
             elif fam == Family.LOGNORMAL:
                 msh = _msh_matrix_lognormal(
-                    n, p1, p2, thr_safe, M, data.n_points_max
+                    n, p1, p2, thr_safe, M, data.n_points_max,
+                    erf_iters=data.gammainc_iters,
                 )
             elif fam == Family.MONODISPERSE:
                 pq = jnp.asarray(p_idx + q_idx, dtype)

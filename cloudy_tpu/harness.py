@@ -109,7 +109,14 @@ def _scenario_rainshaft_128():
     def run():
         return rs.run_rainshaft(config, rhs, ic)
 
-    return {"spec": spec, "config": config, "run": run, "kind": "rainshaft"}
+    return {
+        "spec": spec,
+        "config": config,
+        "run": run,
+        "kind": "rainshaft",
+        "data": data,
+        "ic": ic,
+    }
 
 
 def _scenario_pod_ensemble(n_columns: int = 1 << 20):
@@ -170,13 +177,17 @@ def run_scenario(name: str, outdir: Optional[str] = None):
     jax.block_until_ready(ys)
     wall = time.perf_counter() - t0
 
-    ts_np, ys_np = np.asarray(ts), np.asarray(ys)
-    report = {
-        "scenario": name,
-        "wall_s": wall,
-        "finite": bool(np.all(np.isfinite(ys_np))),
-    }
-    if sc["kind"] in ("box", "rainshaft"):
+    report = {"scenario": name, "wall_s": wall}
+    if sc["kind"] == "ensemble":
+        # pod-scale state: keep the reduction on-device (pulling the full
+        # [n_cols, nz, n_tot] ensemble to host is GBs through the tunnel)
+        report["finite"] = bool(jnp.all(jnp.isfinite(ys[-1])))
+        report.update(metrics.conservation_report(sc["spec"], ys[-1]))
+        report["n_columns"] = int(np.prod(ys[-1].shape[:-2]))
+        ts_np, ys_np = np.asarray(ts), None
+    else:
+        ts_np, ys_np = np.asarray(ts), np.asarray(ys)
+        report["finite"] = bool(np.all(np.isfinite(ys_np)))
         report.update(
             metrics.conservation_report(sc["spec"], jnp.asarray(ys_np[-1]))
         )

@@ -2,14 +2,14 @@
 
 BUILD-NEW component (SURVEY.md §2): one kernel per block of columns fuses
 
-    closure inversion → diagnostic moment recurrence → Simpson/incomplete-
-    gamma autoconversion integrals (F2) → Q/R/S bilinear contraction
+    closure inversion → diagnostic moment recurrence → (per-column percentile
+    thresholds for MovingThreshold) → Simpson/incomplete-gamma (or erf, or
+    closed-form) autoconversion integrals (F2) → Q/R/S bilinear contraction
 
 entirely in VMEM/registers. The XLA einsum path (coalescence.py) materializes
 the ``[B, D²]`` outer product and ``[B, G, M]`` quadrature intermediates in
 HBM (~150 floats/column of traffic); this kernel reads ``n_tot`` floats per
-column and writes ``n_tot`` — the HBM-bandwidth speed-of-light for the
-operation.
+column and writes ``n_tot``.
 
 Data layout: columns ride the TPU *lane* dimension (structure-of-arrays,
 ``[n_tot, B]`` blocks of ``[n_tot, TB]``), so every physics step is an
@@ -17,10 +17,22 @@ element-wise VPU op over a ``[1, TB]`` or ``[G, TB]`` tile. The Q/R/S
 contraction unrolls over the *static nonzero* entries of the assembly weight
 tensors (typically 50-300 FMAs), not the dense D².
 
-Restrictions (fall back to coalescence.get_coal_ints otherwise):
-- FixedThreshold only (static Simpson grid per mode),
-- gamma/exponential modes only for thresholded (non-last) modes
-  (exp == gamma with k = 1; lognormal/monodisperse F2 needs the XLA path).
+Coverage — every configuration the XLA path accepts (reference parity:
+src/Sources/Coalescence.jl:115-185, ParticleDistributions.jl:557-625,721-761):
+
+- all four families (gamma, exponential, lognormal, monodisperse), both as
+  thresholded and non-thresholded modes: gamma/exp F2 via the downward
+  incomplete-gamma recurrence, lognormal F2 via exact Φ partial moments
+  (`special.erf_impl` — lax.erf has no Mosaic lowering), monodisperse F2 in
+  closed form;
+- FixedThreshold (static per-mode quadrature grids precomputed host-side) and
+  MovingThreshold (per-column percentile thresholds computed in-kernel —
+  exp −θlog(1−p), gamma θ·P⁻¹(k,p) by damped Newton, lognormal exp(μ+σz_p),
+  mono θ — with the quadrature grid built in-kernel from each column's
+  threshold);
+- both quadrature rules ("reference": the reference's masked log-grid
+  Simpson, bit-identical to the XLA path; "gauss": Gauss–Legendre on the same
+  log interval, the fast path bench.py runs).
 """
 
 from __future__ import annotations
@@ -37,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cloudy_tpu.spec import Family
 from cloudy_tpu.coalescence import CoalescenceData
 from cloudy_tpu.ops import special
+from cloudy_tpu.ops.pallas_numerical import _invert_rows
 from cloudy_tpu.ops.simpson import simpson_even_fast_weights
 
 
@@ -66,14 +79,18 @@ def _wf_nonzeros(data: CoalescenceData):
     return out
 
 
+_FAMILIES = (
+    Family.GAMMA,
+    Family.EXPONENTIAL,
+    Family.LOGNORMAL,
+    Family.MONODISPERSE,
+)
+
+
 def pallas_supported(data: CoalescenceData) -> bool:
-    if data.moving:
-        return False
-    for i, fam in enumerate(data.spec.families):
-        thresholded = i < data.spec.n_modes - 1 and np.isfinite(data.thresholds[i])
-        if thresholded and fam not in (Family.GAMMA, Family.EXPONENTIAL):
-            return False
-    return True
+    """True for every configuration the XLA path accepts: all four families,
+    fixed and moving thresholds, any mode order."""
+    return all(fam in _FAMILIES for fam in data.spec.families)
 
 
 def _static_grid(threshold: float, n_bins_per_log_unit: int = 15):
@@ -117,13 +134,18 @@ def make_pallas_coal_fn(
     gammainc_iters: Optional[int] = None,
     quad_rule: str = "reference",
     gauss_nodes: int = 24,
+    thr_newton_iters: int = 32,
+    thr_gammainc_iters: int = 128,
 ):
     """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` running the fused
-    kernel. ``B`` must be a multiple of `block_cols`. Use
-    ``interpret=True`` for CPU testing. ``quad_rule``: "reference" keeps
-    the reference's 76-point Simpson log grid; "gauss" uses `gauss_nodes`
-    Gauss–Legendre points on the same interval (~3x fewer integrand
-    evaluations at better accuracy — the fast path)."""
+    kernel. ``B`` must be a multiple of `block_cols`. Use ``interpret=True``
+    for CPU testing. ``quad_rule``: "reference" keeps the reference's
+    log-grid Simpson rule (bit-identical to the XLA path); "gauss" uses
+    `gauss_nodes` Gauss–Legendre points on the same interval (~3x fewer
+    integrand evaluations at better accuracy — the fast path).
+    `thr_newton_iters`/`thr_gammainc_iters` control the MovingThreshold
+    gamma-percentile Newton inversion (defaults match
+    distributions.compute_thresholds for parity)."""
     if not pallas_supported(data):
         raise ValueError("configuration not supported by the Pallas kernel")
     spec = data.spec
@@ -134,92 +156,174 @@ def make_pallas_coal_fn(
     wb_nz = _wb_nonzeros(data)
     wf_nz = _wf_nonzeros(data)
 
-    # static quadrature grids per thresholded mode — passed as kernel INPUTS
-    # (Pallas forbids captured array constants); row 0 = x nodes, row 1 =
-    # weights (masked Simpson or GL).
+    # Which modes carry an F2 quadrature (thresholded, non-last, non-mono;
+    # mono F2 is closed-form and needs no grid). MovingThreshold: every
+    # non-last mode is thresholded (percentiles; reference Coalescence.jl:
+    # 152-185). FixedThreshold: finite thresholds only.
+    def _thresholded(i):
+        if i >= N - 1:
+            return False
+        if data.moving:
+            return True
+        return bool(np.isfinite(data.thresholds[i]))
+
+    thresholded_modes = [i for i in range(N) if _thresholded(i)]
+    grid_modes = [
+        i for i in thresholded_modes
+        if spec.families[i] != Family.MONODISPERSE
+    ]
+
+    # static quadrature inputs — passed as kernel INPUTS (Pallas forbids
+    # captured array constants).
+    #
+    # FixedThreshold: one [2, G] grid per grid mode; row 0 = x nodes, row 1 =
+    #   weights (masked Simpson or GL).
+    # MovingThreshold + gauss: ONE shared [2, gauss_nodes] input of GL base
+    #   nodes/weights on [-1, 1]; the per-column grid is built in-kernel.
+    # MovingThreshold + reference: no input (iota-built masked Simpson grid
+    #   of data.n_points_max points, matching distributions.threshold_log_grid).
     grids = {}
     grid_inputs = []
-    thresholded_modes = []
-    for i in range(N):
-        if i < N - 1 and np.isfinite(data.thresholds[i]):
+    if not data.moving:
+        for i in grid_modes:
             if quad_rule == "gauss":
                 x_np, w_np, dx = _static_grid_gauss(data.thresholds[i], gauss_nodes)
             else:
                 x_np, w_np, dx = _static_grid(data.thresholds[i])
             grids[i] = (x_np.shape[0], dx)
             grid_inputs.append(np.stack([x_np, w_np]))
-            thresholded_modes.append(i)
+    elif quad_rule == "gauss" and grid_modes:
+        u_np, wu_np = np.polynomial.legendre.leggauss(gauss_nodes)
+        grid_inputs.append(np.stack([u_np, wu_np]))
+
+    # static per-mode percentile constants for the moving path
+    if data.moving:
+        percentiles = [float(p) for p in data.thresholds]
+        z_ndtri = [
+            float(np.asarray(special.ndtri(jnp.asarray(p, jnp.float64))))
+            for p in percentiles
+        ]
 
     def kernel(mom_ref, *refs):
         grid_refs = refs[:-1]
         out_ref = refs[-1]
         dtype = mom_ref.dtype
         eps = jnp.finfo(dtype).eps
+        tiny = jnp.finfo(dtype).tiny
         TB = mom_ref.shape[1]
 
         # ---- closure inversion per mode (rows are [1, TB] tiles) ----------
-        params = []  # (n, theta, k) per mode
+        params = []  # (n, p1, p2) per mode — same layout as distributions
         for i, fam in enumerate(spec.families):
             o = spec.offsets[i]
-            m0 = mom_ref[o, :].reshape(1, TB)
-            m1 = mom_ref[o + 1, :].reshape(1, TB)
-            valid = (m0 > eps) & (m1 > eps)
-            m0s = jnp.where(valid, m0, 1.0)
-            m1s = jnp.where(valid, m1, 1.0)
-            if fam == Family.GAMMA:
-                m2 = mom_ref[o + 2, :].reshape(1, TB)
-                m2s = jnp.where(valid, m2, 2.0)
-                mean = m1s / m0s
-                denom = m2s / m1s - mean
-                denom = jnp.where(jnp.abs(denom) > 0, denom, eps)
-                k = jnp.clip(mean / denom, eps, 10.0)
-                theta = mean / k
-            elif fam == Family.EXPONENTIAL:
-                theta = m1s / m0s
-                k = jnp.ones_like(theta)
-            else:
-                raise NotImplementedError(fam)
-            n = jnp.where(valid, m0, 0.0)
-            theta = jnp.where(valid, theta, 1.0)
-            k = jnp.where(valid, k, 1.0)
-            params.append((n, theta, k))
+            rows = [
+                mom_ref[o + j, :].reshape(1, TB)
+                for j in range(spec.nprogmoms[i])
+            ]
+            params.append(_invert_rows(fam, rows, eps))
 
-        # ---- diagnostic moment recurrence: Mf[i][p], p = 0..M-1 ----------
+        # ---- diagnostic moment recurrence: Mf[i][p], p = 0..M-1 -----------
+        # (mirrors distributions._integer_moments_one_mode term-for-term)
         mf = []
         for i, fam in enumerate(spec.families):
-            n, theta, k = params[i]
+            n, p1, p2 = params[i]
             rows = [n]
             m = n
-            for p in range(M - 1):
-                m = m * theta * (k + p)
+            for o in range(M - 1):
+                if fam == Family.EXPONENTIAL:
+                    m = m * p1 * (o + 1.0)
+                elif fam == Family.GAMMA:
+                    m = m * p1 * (p2 + o)
+                elif fam == Family.MONODISPERSE:
+                    m = m * p1
+                elif fam == Family.LOGNORMAL:
+                    m = m * special.exp(p1 + (2.0 * o + 1.0) * 0.5 * p2**2)
                 rows.append(m)
             mf.append(rows)
 
-        # ---- F2 matrices for thresholded modes ---------------------------
-        f2 = {}
-        for slot, i in enumerate(thresholded_modes):
-            G, dx = grids[i]
-            n, theta, k = params[i]
-            x = grid_refs[slot][0, :].reshape(G, 1)
-            w = grid_refs[slot][1, :].reshape(G, 1)
-            logx = jnp.log(x)
-            T = jnp.asarray(float(data.thresholds[i]), dtype)
+        # ---- per-column thresholds (MovingThreshold only) ------------------
+        # mirrors distributions.compute_thresholds
+        thr_rows = {}
+        if data.moving:
+            for i in thresholded_modes:
+                fam = spec.families[i]
+                n, p1, p2 = params[i]
+                p = percentiles[i]
+                if fam == Family.EXPONENTIAL:
+                    thr = p1 * (-float(np.log1p(-p)))
+                elif fam == Family.GAMMA:
+                    # unroll only when lowering through Mosaic (straight-line
+                    # code); interpret mode keeps the rolled loop — the float
+                    # op sequence is identical either way
+                    thr = p1 * special.gammaincinv_impl(
+                        p2,
+                        jnp.full_like(p1, p),
+                        n_newton=thr_newton_iters,
+                        n_iters=thr_gammainc_iters,
+                        unroll=not interpret,
+                    )
+                elif fam == Family.LOGNORMAL:
+                    thr = special.exp(p1 + p2 * z_ndtri[i])
+                elif fam == Family.MONODISPERSE:
+                    thr = p1
+                thr_rows[i] = jnp.maximum(thr, 1e-18)
 
+        # ---- in-kernel quadrature grid for moving thresholds --------------
+        def _moving_grid(slot, T):
+            """(x, w·mask, dx) from a per-column threshold row [1, TB];
+            replicates distributions.threshold_log_grid +
+            simpson_even_fast_weights_dynamic for the reference rule, or the
+            GL log-interval rule for the fast path."""
+            if quad_rule == "gauss":
+                G = gauss_nodes
+                u = grid_refs[slot][0, :].reshape(G, 1)
+                wu = grid_refs[slot][1, :].reshape(G, 1)
+                x_lo = 1e-5 * jnp.minimum(T, 1.0)
+                a, b = jnp.log(x_lo), jnp.log(T)
+                x = special.exp(a + 0.5 * (b - a) * (u + 1.0))  # [G, TB]
+                w = 0.5 * (b - a) * wu
+                return x, w, 1.0, G
+            G = data.n_points_max
+            # Mosaic's iota is integer-only; cast to the compute dtype after
+            j = (
+                jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0).astype(dtype)
+                + 1.0
+            )  # 1-based, [G, 1]
+            x_lo = jnp.minimum(jnp.asarray(1e-5, dtype), 1e-5 * T)
+            ratio = jnp.log10(T / x_lo)
+            nb = jnp.minimum(jnp.floor(15.0 * ratio), float(G - 1))  # [1, TB]
+            x_min = jnp.log(x_lo)
+            dx = (jnp.log(T) - x_min) / nb
+            x = special.exp(x_min + (j - 1.0) * dx)  # [G, TB]
+            interior = ((j >= 5.0) & (j <= nb - 3.0)).astype(dtype)
+            w = interior
+            for jj, c in ((1.0, 17.0), (2.0, 59.0), (3.0, 43.0), (4.0, 49.0)):
+                w = w + jnp.where(j == jj, c / 48.0, 0.0).astype(dtype)
+            e = nb + 1.0
+            for off, c in ((0.0, 17.0), (1.0, 59.0), (2.0, 43.0), (3.0, 49.0)):
+                w = w + jnp.where(j == e - off, c / 48.0, 0.0).astype(dtype)
+            mask = (j <= nb).astype(dtype)
+            return x, w * mask, dx, G
+
+        # ---- F2 matrices for thresholded modes -----------------------------
+        def _f2_gamma(i, x, w, dx, T, n, theta, k):
+            """Gamma/exponential F2 via the downward incomplete-gamma
+            recurrence (see coalescence._msh_matrix_gamma)."""
+            logx = jnp.log(x)
             inv_theta = 1.0 / theta  # [1, TB]
             rem = jnp.maximum(T - x, 0.0) * inv_theta  # [G, TB]
-            log_rem = jnp.log(jnp.maximum(rem, jnp.finfo(dtype).tiny))
+            log_rem = jnp.log(jnp.maximum(rem, tiny))
 
-            # incomplete gamma at the TOP order, then the forward-stable
-            # downward recurrence P(a, x) = P(a+1, x) + x^a e^{−x}/Γ(a+1)
-            # (additions of positive Poisson terms — no cancellation; see
-            # coalescence._msh_matrix_gamma). One CF/series + one exp/lgamma
-            # chain total per grid point.
+            # Poisson terms delta(k+q), q = 0..M-2, upward multiplicative
             delta = special.exp(k * log_rem - rem - special.lgamma(k + 1.0))
             delta = jnp.where(rem > 0.0, delta, 0.0)
             deltas = [delta]
             for q in range(1, M - 1):
                 deltas.append(deltas[-1] * rem / (k + q))
-            gi = special.gammainc_impl(k + (M - 1.0), rem, n_iters=iters)
+            # top order directly, then the forward-stable downward recurrence
+            gi = special.gammainc_impl(
+                k + (M - 1.0), rem, n_iters=iters, log_x=log_rem
+            )
             gis = [gi]
             for q in range(M - 2, -1, -1):
                 gi = jnp.clip(gi + deltas[q], 0.0, 1.0)
@@ -235,7 +339,7 @@ def make_pallas_coal_fn(
             prefs = [(n * n) * special.exp(-k * logth - lgk)]
             for q in range(1, M):
                 prefs.append(prefs[-1] * theta * (k + q - 1.0))
-            mm_rows = mf[i]
+
             f2i = {}
             ypow = base
             for p in range(M):
@@ -245,13 +349,88 @@ def make_pallas_coal_fn(
                     if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
                         continue
                     raw = jnp.sum(ypow * gis[q], axis=0, keepdims=True) * dx
-                    msh = raw * prefs[q]
-                    mm = mm_rows[p] * mm_rows[q]
-                    val = jnp.minimum(mm, msh)
-                    val = jnp.where(mm < eps, 0.0, val)
-                    f2i[(p, q)] = val
-                    f2i[(q, p)] = val
-            f2[i] = f2i
+                    f2i[(p, q)] = raw * prefs[q]
+            return f2i
+
+        def _f2_lognormal(i, x, w, dx, T, n, mu, sig):
+            """Lognormal F2 via exact Φ partial moments (mirrors
+            coalescence._msh_matrix_lognormal; erf through gammainc — lax.erf
+            has no Mosaic lowering)."""
+            logx = jnp.log(jnp.maximum(x, tiny))
+            fx = special.exp(-((logx - mu) ** 2) / (2.0 * sig**2)) / (
+                x * sig * float(np.sqrt(2.0 * np.pi))
+            )
+            rem = jnp.maximum(T - x, 0.0)
+            logrem = jnp.log(jnp.maximum(rem, tiny))
+
+            pms = []
+            for q in range(M):
+                z = (logrem - mu - q * sig**2) / (sig * float(np.sqrt(2.0)))
+                pm = special.exp(q * mu + 0.5 * q**2 * sig**2) * 0.5 * (
+                    1.0 + special.erf_impl(z, n_iters=iters)
+                )
+                pms.append(jnp.where(rem > 0.0, pm, 0.0))
+
+            n2 = n * n
+            f2i = {}
+            ypow = x * fx * w
+            for p in range(M):
+                if p > 0:
+                    ypow = ypow * x
+                for q in range(p, M):
+                    if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
+                        continue
+                    raw = jnp.sum(ypow * pms[q], axis=0, keepdims=True) * dx
+                    f2i[(p, q)] = raw * n2
+            return f2i
+
+        f2 = {}
+        slot = 0  # grid-input slot (fixed: one per grid mode; moving+gauss: shared 0)
+        for i in thresholded_modes:
+            fam = spec.families[i]
+            n, p1, p2 = params[i]
+            mm_rows = mf[i]
+            if data.moving:
+                T = thr_rows[i]
+            else:
+                T = jnp.asarray(float(data.thresholds[i]), dtype)
+
+            if fam == Family.MONODISPERSE:
+                # closed form (reference ParticleDistributions.jl:557-564):
+                # msh(p,q) = n²θ^{p+q} when θ < T/2 else 0 — and n²θ^{p+q} is
+                # exactly M_p·M_q, so min(mm, msh) = where(θ < T/2, mm, 0).
+                below = p1 < T / 2.0
+                f2i = {}
+                for p in range(M):
+                    for q in range(p, M):
+                        if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
+                            continue
+                        f2i[(p, q)] = jnp.where(
+                            below, mm_rows[p] * mm_rows[q], 0.0
+                        )
+            else:
+                if data.moving:
+                    x, w, dx, G = _moving_grid(0 if quad_rule == "gauss" else None, T)
+                else:
+                    G, dx = grids[i]
+                    x = grid_refs[slot][0, :].reshape(G, 1)
+                    w = grid_refs[slot][1, :].reshape(G, 1)
+                    slot += 1
+                if fam in (Family.GAMMA, Family.EXPONENTIAL):
+                    kk = p2 if fam == Family.GAMMA else jnp.ones_like(p1)
+                    f2i = _f2_gamma(i, x, w, dx, T, n, p1, kk)
+                else:  # LOGNORMAL
+                    f2i = _f2_lognormal(i, x, w, dx, T, n, p1, p2)
+
+            # clamp against M_p·M_q and apply the reference zero-structure
+            out = {}
+            for (p, q), msh in f2i.items():
+                mm = mm_rows[p] * mm_rows[q]
+                val = jnp.minimum(mm, msh)
+                val = jnp.where(mm < eps, 0.0, val)
+                out[(p, q)] = val
+                out[(q, p)] = val
+            f2[i] = out
 
         def f2_lookup(i, p, q):
             # non-thresholded / last modes use the mm fallback with the

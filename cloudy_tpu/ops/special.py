@@ -55,6 +55,13 @@ def exp(x):
     Also the Pallas-safe exp (same ops lower in Mosaic).
     """
     x = jnp.asarray(x)
+    # f32 inputs: the backend's exp IS the correctly-rounded f32 exp with the
+    # right overflow (x > 88.7 -> inf) / underflow / NaN behavior — the
+    # dual-path range extension below only works around the axon backend's
+    # f32-grade F64 transcendentals. One exp instead of two in the f32
+    # production path (the fused coalescence kernel's hot rows).
+    if x.dtype == jnp.float32:
+        return jnp.exp(x)
     # direct path for the f32-safe argument range
     direct = jnp.exp(jnp.clip(x, -85.0, 85.0))
     # extended range via exp(x) = exp(x/9)^9 (|x|/9 <= 85 covers the full
@@ -112,10 +119,10 @@ def gammafn(x):
 # --------------------------------------------------------------------------
 
 
-def _gammainc_series(a, x, n_iters):
-    """Lower-series expansion of P(a,x); accurate for x < a + 1.
+def _gammainc_series_sum(a, x, n_iters):
+    """Lower-series sum of P(a,x) (without the prefactor); x < a + 1.
 
-    P(a,x) = x^a e^-x / Γ(a) * sum_{n>=0} x^n / (a (a+1) ... (a+n)).
+    sum_{n>=0} x^n / (a (a+1) ... (a+n)).
     """
 
     def body(_, carry):
@@ -125,17 +132,18 @@ def _gammainc_series(a, x, n_iters):
         return total + term, term, ap
 
     term0 = 1.0 / a
+    term0, _ = jnp.broadcast_arrays(term0, x)
     # fully unrolled: straight-line HLO fuses into one kernel (a rolled loop
     # materializes the [batch]-shaped carry in HBM every iteration)
     total, _, _ = jax.lax.fori_loop(
-        0, n_iters, body, (term0, term0, a), unroll=True
+        0, n_iters, body, (term0, term0, a + jnp.zeros_like(term0)), unroll=True
     )
-    log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
-    return total * exp(log_prefactor)
+    return total
 
 
-def _gammainc_contfrac(a, x, n_iters):
-    """Continued-fraction (modified Lentz) evaluation of Q(a,x); x >= a + 1."""
+def _gammainc_contfrac_h(a, x, n_iters):
+    """Continued-fraction (modified Lentz) factor of Q(a,x) (without the
+    prefactor); x >= a + 1."""
     tiny = jnp.finfo(x.dtype).tiny * 1e10
 
     b0 = x + 1.0 - a
@@ -157,16 +165,22 @@ def _gammainc_contfrac(a, x, n_iters):
         return h, c, d, b
 
     h, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (h0, c0, d0, b0), unroll=True)
-    log_prefactor = a * jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny)) - x - lgamma(a)
-    return exp(log_prefactor) * h
+    return h
 
 
-def gammainc_impl(a, x, n_iters: int = 128):
+def gammainc_impl(a, x, n_iters: int = 128, log_x=None):
     """Unjitted body of `gammainc` (call this inside Pallas kernels — a
-    nested pjit does not lower through Mosaic)."""
+    nested pjit does not lower through Mosaic).
+
+    Cost structure matters here (this is the inner loop of the fused
+    coalescence kernel, where x is a [G, TB] grid and a is a [1, TB] row):
+    everything that depends only on `a` — lgamma(a), log(a+1) — is evaluated
+    at a's own (row) shape and broadcast lazily, instead of materializing a
+    at x's shape first; the two branch prefactors share ONE log of x (pass
+    ``log_x`` to reuse a log the caller already has).
+    """
     a = jnp.asarray(a)
     x = jnp.asarray(x)
-    a, x = jnp.broadcast_arrays(a, x)
     dtype = jnp.result_type(a, x)
     a = a.astype(dtype)
     # Clamp very large x: P(a, x) has saturated to 1 long before 1e6 for any
@@ -174,12 +188,24 @@ def gammainc_impl(a, x, n_iters: int = 128):
     # continued fraction.
     x = jnp.minimum(x.astype(dtype), 1e6)
 
-    use_series = x < a + 1.0
-    x_safe_series = jnp.where(use_series, x, a + 1.0)
-    x_safe_cf = jnp.where(use_series, a + 1.0, x)
+    ap1 = a + 1.0
+    use_series = x < ap1
+    x_safe_series = jnp.where(use_series, x, ap1)
+    x_safe_cf = jnp.where(use_series, ap1, x)
 
-    p_series = _gammainc_series(a, x_safe_series, n_iters)
-    q_cf = _gammainc_contfrac(a, x_safe_cf, n_iters)
+    series_sum = _gammainc_series_sum(a, x_safe_series, n_iters)
+    h_cf = _gammainc_contfrac_h(a, x_safe_cf, n_iters)
+
+    # shared prefactor pieces: one [x]-shaped log + [a]-shaped lgamma/log
+    tiny = jnp.finfo(dtype).tiny
+    if log_x is None:
+        log_x = jnp.log(jnp.maximum(x, tiny))
+    log_ap1 = jnp.log(ap1)  # a-shaped
+    lga = lgamma(a)  # a-shaped
+    log_xs = jnp.where(use_series, log_x, log_ap1)
+    log_xc = jnp.where(use_series, log_ap1, log_x)
+    p_series = series_sum * exp(a * log_xs - x_safe_series - lga)
+    q_cf = h_cf * exp(a * log_xc - x_safe_cf - lga)
 
     out = jnp.where(use_series, p_series, 1.0 - q_cf)
     out = jnp.clip(out, 0.0, 1.0)
@@ -256,16 +282,11 @@ def ndtri(p):
     return jnp.where(p < p_low, x_low, jnp.where(p > 1.0 - p_low, x_up, x_central))
 
 
-@functools.partial(jax.jit, static_argnames=("n_newton", "n_iters"))
-def gammaincinv(a, p, n_newton: int = 32, n_iters: int = 128):
-    """x such that P(a, x) = p — Julia's ``gamma_inc_inv(a, p, 1-p)``.
-
-    Used for percentile thresholds of gamma modes (reference
-    `compute_threshold`, src/ParticleDistributions/ParticleDistributions.jl:755-761).
-
-    Wilson–Hilferty starting point followed by damped Newton iterations on
-    g(x) = P(a,x) - p with analytic derivative P'(a,x) = x^(a-1) e^-x / Γ(a).
-    """
+def gammaincinv_impl(a, p, n_newton: int = 32, n_iters: int = 128,
+                     unroll: bool = False):
+    """Unjitted body of `gammaincinv` (call this inside Pallas kernels — a
+    nested pjit does not lower through Mosaic; pass ``unroll=True`` there,
+    Mosaic handles straight-line code best)."""
     a = jnp.asarray(a)
     p = jnp.asarray(p)
     a, p = jnp.broadcast_arrays(a, p)
@@ -286,17 +307,45 @@ def gammaincinv(a, p, n_newton: int = 32, n_iters: int = 128):
     lg = lgamma(a)
 
     def body(_, x):
-        f = gammainc(a, x, n_iters=n_iters) - p
+        f = gammainc_impl(a, x, n_iters=n_iters) - p
         logdf = (a - 1.0) * jnp.log(jnp.maximum(x, tiny)) - x - lg
         step = f * exp(-logdf)
         # Damp: never move more than a factor of ~0.9 of x toward zero.
         step = jnp.clip(step, -9.0 * x, 0.9 * x)
         return x - step
 
-    x = jax.lax.fori_loop(0, n_newton, body, x0, unroll=False)
+    x = jax.lax.fori_loop(0, n_newton, body, x0, unroll=unroll)
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("n_newton", "n_iters"))
+def gammaincinv(a, p, n_newton: int = 32, n_iters: int = 128):
+    """x such that P(a, x) = p — Julia's ``gamma_inc_inv(a, p, 1-p)``.
+
+    Used for percentile thresholds of gamma modes (reference
+    `compute_threshold`, src/ParticleDistributions/ParticleDistributions.jl:755-761).
+
+    Wilson–Hilferty starting point followed by damped Newton iterations on
+    g(x) = P(a,x) - p with analytic derivative P'(a,x) = x^(a-1) e^-x / Γ(a).
+    """
+    return gammaincinv_impl(a, p, n_newton=n_newton, n_iters=n_iters)
 
 
 def erf(x):
     """Error function — thin wrapper (XLA provides a native lowering)."""
     return jax.lax.erf(x)
+
+
+def erf_impl(x, n_iters: int = 128):
+    """Pallas-safe error function: erf(z) = sign(z) · P(1/2, z²).
+
+    `lax.erf` has no Mosaic lowering (probed on-chip: "Unimplemented
+    primitive in Pallas TPU lowering: erf"), so inside Pallas kernels erf is
+    evaluated through the same `gammainc_impl` machinery as everything else.
+    The lognormal F2 path uses THIS implementation on the XLA side too
+    (coalescence._msh_matrix_lognormal) so the two paths stay bit-identical.
+    Accuracy follows gammainc: < 1e-12 relative in f64 at n_iters = 128.
+    """
+    x = jnp.asarray(x)
+    p = gammainc_impl(jnp.asarray(0.5, x.dtype), x * x, n_iters=n_iters)
+    return jnp.sign(x) * p

@@ -37,6 +37,17 @@ from cloudy_tpu.utils import io, plotting
 OUTDIR = os.path.join(os.path.dirname(__file__), "output")
 NORMS = (1e6, 1e-9)
 
+# CI fast tier (tests/test_examples.py runs EVERY example, mirroring the
+# reference's per-example Buildkite jobs): CLOUDY_EXAMPLE_FAST=1 shrinks the
+# integration horizon / column height so the full set stays under ~3 min,
+# while each script still exercises its complete build → integrate → plot →
+# NetCDF pipeline at its real physics configuration.
+FAST = bool(int(os.environ.get("CLOUDY_EXAMPLE_FAST", "0")))
+
+
+def _fast_time(t_end, dt, n_steps_fast=4):
+    return (min(t_end, n_steps_fast * dt), dt) if FAST else (t_end, dt)
+
 
 def _ensure_outdir():
     os.makedirs(OUTDIR, exist_ok=True)
@@ -62,6 +73,7 @@ def run_box_example(
     out = _ensure_outdir()
     if thresholds is None:
         thresholds = (np.inf,) * spec.n_modes
+    t_end, dt = _fast_time(t_end, dt)
     config = box.BoxConfig(spec=spec, norms=norms, t_end=t_end, dt=dt)
     if numerical:
         rhs = jax.jit(box.make_box_rhs(config, kernel_func=kernel_func, numerical=True))
@@ -82,6 +94,7 @@ def run_box_example(
 def run_condensation_example(name, spec, moments_init, s=0.01, xi=1e-10,
                              t_end=10.0, dt=0.25, norms=NORMS):
     out = _ensure_outdir()
+    t_end, dt = _fast_time(t_end, dt)
     config = box.BoxConfig(spec=spec, norms=norms, t_end=t_end, dt=dt)
     rhs = jax.jit(box.make_box_condensation_rhs(config, s=s, xi=xi))
     ts, ys = box.run_box(config, rhs, jnp.asarray(moments_init))
@@ -107,6 +120,9 @@ def run_rainshaft_example(
     out = _ensure_outdir()
     if thresholds is None:
         thresholds = (np.inf,) * spec.n_modes
+    t_end, dt = _fast_time(t_end, dt)
+    if FAST:
+        nz = min(nz, 16)
     config = rs.RainshaftConfig(
         spec=spec, nz=nz, zmax=zmax, norms=norms, t_end=t_end, dt=dt,
         save_every=max(1, int(t_end / dt) // 20),

@@ -58,11 +58,22 @@ def _harness_case(name):
     return run
 
 
+def _case_rainshaft_128_thinned():
+    """BASELINE configs[3] at full size (nz = 128, 300 s), thinned to every
+    30th step — the flagship-scale scenario, golden-pinned end to end
+    (VERDICT r1 #6). Identical construction to harness.rainshaft_128."""
+    from cloudy_tpu import harness
+
+    ts, ys = harness.SCENARIOS["rainshaft_128"]()["run"]()
+    return np.asarray(ts), np.asarray(ys)
+
+
 CASES = {
     "box_single_gamma_golovin": _harness_case("box_single_gamma_golovin"),
     "box_exp_gamma_mixture": _harness_case("box_exp_gamma_mixture"),
     "box_long_numerical": _harness_case("box_long_numerical"),
     "rainshaft_small": _case_rainshaft_small,
+    "rainshaft_128": _case_rainshaft_128_thinned,
 }
 
 

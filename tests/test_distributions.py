@@ -242,7 +242,12 @@ def test_compute_thresholds():
     params = jnp.asarray([[10.0, 1.0, 0.0], [5.0, 10.0, 2.0]])
     thr = np.asarray(pd.compute_thresholds(spec, params, 0.97))
     assert thr[0] == pytest.approx(-1.0 * np.log(1 - 0.97), rel=1e-6)
+    # reference transcribed literals (test_ParticleDistributions:266-268,
+    # default percentile 0.97 / explicit 0.5)
+    assert thr[0] == pytest.approx(3.507, rel=1e-3)
     assert np.isinf(thr[1])
+    thr_half = np.asarray(pd.compute_thresholds(spec, params, [0.5, 1.0]))
+    assert thr_half[0] == pytest.approx(0.6931, rel=1e-3)
 
     spec2 = SpectrumSpec((Family.GAMMA, Family.EXPONENTIAL))
     params2 = jnp.asarray([[5.0, 10.0, 2.0], [10.0, 1.0, 0.0]])

@@ -1,21 +1,34 @@
-"""Tier-2: example scripts as integration tests (the reference runs every
-example in CI, .buildkite/pipeline.yml:30-107). A fast subset runs here;
-outputs (plots + NetCDF) must be produced and finite."""
+"""Tier-2: ALL example scripts as integration tests — the reference runs
+every example as its own CI job (.buildkite/pipeline.yml:30-107); here every
+script under examples/ runs with CLOUDY_EXAMPLE_FAST=1 (shortened horizon,
+same physics configuration, full build → integrate → plot → NetCDF pipeline),
+and a slow-marker subset re-runs the flagship cases at full length."""
 
 import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
 
+ALL_EXAMPLES = sorted(
+    f[:-3]
+    for f in os.listdir(EXAMPLES)
+    if f.endswith(".py") and f != "common.py"
+)
 
-def _run_example(name, timeout=420):
+# box/rainshaft/condensation scripts produce a NetCDF named after themselves;
+# these two produce plots/printouts only (like their reference counterparts)
+NO_NETCDF = {"parcel_example", "test_kernel_tensor_approximation"}
+
+
+def _run_example(name, fast=True, timeout=420):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    if fast:
+        env["CLOUDY_EXAMPLE_FAST"] = "1"
     proc = subprocess.run(
         [sys.executable, f"{name}.py"],
         cwd=EXAMPLES,
@@ -28,24 +41,27 @@ def _run_example(name, timeout=420):
     return proc.stdout
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["box_single_gamma", "box_mono_gamma_mixture", "condensation_single_gamma"],
-)
-def test_box_examples_run(name):
+def test_all_reference_examples_present():
+    """Every reference example script has a counterpart (SURVEY §2 row 34)."""
+    assert len(ALL_EXAMPLES) == 22, ALL_EXAMPLES
+
+
+@pytest.mark.parametrize("name", ALL_EXAMPLES)
+def test_example_runs(name):
     out = _run_example(name)
-    assert "final moments" in out
+    if name in NO_NETCDF:
+        assert ("done" in out) or ("max rel error" in out)
+        return
     nc = os.path.join(EXAMPLES, "output", f"{name}.nc")
-    assert os.path.exists(nc)
+    assert os.path.exists(nc), out
+    assert ("final moments" in out) or ("total mass" in out)
+
+
+@pytest.mark.parametrize(
+    "name", ["box_single_gamma", "box_mono_gamma_mixture"]
+)
+def test_flagship_examples_full_length(name):
+    out = _run_example(name, fast=False)
+    assert "final moments" in out
     png = os.path.join(EXAMPLES, "output", f"{name}_moments.png")
     assert os.path.exists(png)
-
-
-def test_kernel_tensor_approximation_example():
-    out = _run_example("test_kernel_tensor_approximation")
-    assert "max rel error" in out
-
-
-def test_parcel_example():
-    out = _run_example("parcel_example")
-    assert "parcel example done" in out

@@ -91,10 +91,27 @@ def test_f32_trajectory_allclose(name):
     assert err.max() < 2e-3, err.max()
 
 
-def test_pallas_gauss_trajectory_allclose():
-    """Full trajectory through the fused Pallas kernel (Gauss-16 quadrature
-    rule, interpret mode — the exact configuration bench.py runs on-chip)
-    stays within 1e-3 of the stored reference-parity trajectory."""
+def _bench_config():
+    """The exact fast-path configuration bench.py runs on-chip, imported from
+    bench.py itself so the gated configuration cannot drift from the benched
+    one (VERDICT r1 #1 / ADVICE r1: the headline number must be measured at a
+    tested accuracy point)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec_ = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    return mod.BENCH_GAUSS_NODES, mod.BENCH_GAMMAINC_ITERS
+
+
+@pytest.mark.parametrize("cfg", ["gauss16", "bench"])
+def test_pallas_gauss_trajectory_allclose(cfg):
+    """Full trajectory through the fused Pallas kernel (Gauss quadrature
+    rule, interpret mode) stays within 1e-3 of the stored reference-parity
+    trajectory — at the high-accuracy Gauss-16 point AND at the exact
+    (gauss_nodes, gammainc_iters) configuration bench.py measures on-chip."""
     from cloudy_tpu.ops import pallas_coalescence as pc
 
     sc = harness.SCENARIOS["box_exp_gamma_mixture"]()
@@ -102,8 +119,13 @@ def test_pallas_gauss_trajectory_allclose():
     norms = jnp.asarray(
         get_moments_normalizing_factors(spec.nprogmoms, config.norms)
     )
+    if cfg == "bench":
+        gauss_nodes, gammainc_iters = _bench_config()
+    else:
+        gauss_nodes, gammainc_iters = 16, None
     fn = pc.make_pallas_coal_fn(
-        data, block_cols=8, interpret=True, quad_rule="gauss", gauss_nodes=16
+        data, block_cols=8, interpret=True, quad_rule="gauss",
+        gauss_nodes=gauss_nodes, gammainc_iters=gammainc_iters,
     )
 
     def rhs(mom, t):
@@ -117,5 +139,32 @@ def test_pallas_gauss_trajectory_allclose():
 
     _, ys_g = load_golden("box_exp_gamma_mixture")
     scale = np.abs(ys_g).max(axis=0)
+    err = np.abs(ys - ys_g) / scale
+    assert err.max() < 1e-3, err.max()
+
+
+def test_rainshaft_128_pallas_coal_fn_trajectory_allclose():
+    """Flagship-scale BASELINE configs[3] (nz = 128, 300 s) through the fused
+    Pallas coalescence hook (`make_rainshaft_rhs(coal_fn=...)`, the pod
+    workload's production path) stays within 1e-3 of the stored f64
+    reference-parity trajectory (VERDICT r1 #6)."""
+    import jax
+
+    from cloudy_tpu.models import rainshaft as rs
+    from cloudy_tpu.ops import pallas_coalescence as pc
+
+    sc = harness.SCENARIOS["rainshaft_128"]()
+    data, config = sc["data"], sc["config"]
+    gauss_nodes, gammainc_iters = _bench_config()
+    coal = pc.make_pallas_coal_fn(
+        data, block_cols=128, interpret=True, quad_rule="gauss",
+        gauss_nodes=gauss_nodes, gammainc_iters=gammainc_iters,
+    )
+    rhs = jax.jit(rs.make_rainshaft_rhs(config, data, coal_fn=coal))
+    ts, ys = rs.run_rainshaft(config, rhs, sc["ic"])
+    ys = np.asarray(ys)
+
+    _, ys_g = load_golden("rainshaft_128")
+    scale = np.abs(ys_g).max(axis=(0, 1))  # per-moment scale
     err = np.abs(ys - ys_g) / scale
     assert err.max() < 1e-3, err.max()

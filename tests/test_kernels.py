@@ -69,6 +69,11 @@ def test_polyfit_recovers_polynomials():
         np.testing.assert_allclose(
             K.polyfit(f, 1, lim), [[0.1, -0.23], [-0.23, 0.2]], rtol=RTOL, atol=1e-10
         )
+    # reference :18-20: CoalescenceTensor from a raw callable 0.02 + x + y
+    c = K.CoalescenceTensor.from_function(lambda x, y: 0.02 + x + y, 1, 10.0)
+    np.testing.assert_allclose(
+        c.array, [[0.02, 1.0], [1.0, 0.0]], rtol=1e-5, atol=1e-10
+    )
 
 
 def test_polyfit_kernel_function_normalization():

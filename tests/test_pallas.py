@@ -37,14 +37,26 @@ def _random_moments(spec, B, seed=0):
     return np.asarray(pd.get_moments(spec, jnp.asarray(params)))
 
 
-def test_pallas_supported_gating():
-    spec, data = _setup((Family.GAMMA, Family.GAMMA), (5e-10, np.inf))
+def test_pallas_supported_everything_xla_accepts():
+    """VERDICT r1 #4: the fused kernel covers every configuration the XLA
+    path accepts — all four families in any position, fixed AND moving
+    thresholds."""
+    for fams in [
+        (Family.GAMMA, Family.GAMMA),
+        (Family.LOGNORMAL, Family.GAMMA),
+        (Family.GAMMA, Family.LOGNORMAL),
+        (Family.MONODISPERSE, Family.GAMMA),
+        (Family.EXPONENTIAL, Family.LOGNORMAL, Family.GAMMA),
+    ]:
+        spec, data = _setup(fams, (5e-10,) * (len(fams) - 1) + (np.inf,))
+        assert pc.pallas_supported(data)
+    # moving thresholds
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (0.9, 1.0), norms=(1e6, 1e-9), moving=True
+    )
     assert pc.pallas_supported(data)
-    spec2, data2 = _setup((Family.LOGNORMAL, Family.GAMMA), (5e-10, np.inf))
-    assert not pc.pallas_supported(data2)
-    # lognormal as LAST mode (no threshold integral needed) is fine
-    spec3, data3 = _setup((Family.GAMMA, Family.LOGNORMAL), (5e-10, np.inf))
-    assert pc.pallas_supported(data3)
 
 
 def test_pallas_matches_xla_two_gamma():
@@ -89,6 +101,168 @@ def test_pallas_gauss_rule_close_to_reference_rule():
     ref = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
     fast = pc.make_pallas_coal_fn(
         data, block_cols=128, interpret=True, quad_rule="gauss", gauss_nodes=16
+    )
+    a = np.asarray(ref(mom))
+    b = np.asarray(fast(mom))
+    scale = np.abs(a).max(axis=0, keepdims=True)
+    rel = np.abs(a - b) / (np.abs(a) + 1e-6 * scale)
+    assert np.median(rel) < 1e-4
+    assert np.quantile(rel, 0.99) < 5e-3
+
+
+def test_pallas_matches_xla_lognormal_thresholded():
+    """Lognormal as a THRESHOLDED (non-last) mode: in-kernel Φ partial
+    moments (erf via gammainc) vs the XLA path."""
+    spec, data = _setup((Family.LOGNORMAL, Family.GAMMA), (5e-10, np.inf))
+    B = 128
+    rng = np.random.default_rng(7)
+    params = np.stack(
+        [
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(-2.0, 1.0, B),
+                 rng.uniform(0.3, 1.2, B)],
+                -1,
+            ),
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                 rng.uniform(0.5, 5.0, B)],
+                -1,
+            ),
+        ],
+        axis=1,
+    )
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    want = np.asarray(get_coal_ints(data, pd.params_from_moments(spec, mom)))
+    fn = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
+    got = np.asarray(fn(mom))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_matches_xla_monodisperse_thresholded():
+    """Monodisperse thresholded mode: closed-form F2 vs the XLA path, both
+    sides of the theta < T/2 split."""
+    spec, data = _setup((Family.MONODISPERSE, Family.GAMMA), (5e-10, np.inf))
+    B = 128
+    rng = np.random.default_rng(11)
+    # thresholds normalize to 0.5; put mono theta on both sides of T/2 = 0.25
+    params = np.stack(
+        [
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 0.6, B),
+                 np.zeros(B)],
+                -1,
+            ),
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                 rng.uniform(0.5, 5.0, B)],
+                -1,
+            ),
+        ],
+        axis=1,
+    )
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    want = np.asarray(get_coal_ints(data, pd.params_from_moments(spec, mom)))
+    fn = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
+    got = np.asarray(fn(mom))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_matches_xla_three_mode_mixed():
+    """exp + lognormal + gamma, two thresholded modes of different families
+    in one kernel."""
+    spec = SpectrumSpec((Family.EXPONENTIAL, Family.LOGNORMAL, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (2e-10, 5e-10, np.inf), norms=(1e6, 1e-9)
+    )
+    assert pc.pallas_supported(data)
+    B = 128
+    rng = np.random.default_rng(13)
+    params = np.stack(
+        [
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.02, 0.5, B),
+                 np.zeros(B)],
+                -1,
+            ),
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(-2.0, 0.5, B),
+                 rng.uniform(0.3, 1.0, B)],
+                -1,
+            ),
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                 rng.uniform(0.5, 5.0, B)],
+                -1,
+            ),
+        ],
+        axis=1,
+    )
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    want = np.asarray(get_coal_ints(data, pd.params_from_moments(spec, mom)))
+    fn = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
+    got = np.asarray(fn(mom))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "families",
+    [
+        (Family.GAMMA, Family.GAMMA),
+        (Family.EXPONENTIAL, Family.GAMMA),
+        (Family.LOGNORMAL, Family.GAMMA),
+    ],
+)
+def test_pallas_matches_xla_moving_threshold(families):
+    """MovingThreshold: per-column percentile thresholds (Newton gammainc
+    inversion for gamma, closed forms for exp/lognormal) and the quadrature
+    grid built in-kernel, vs the XLA path (reference Coalescence.jl:152-185)."""
+    spec = SpectrumSpec(families)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (0.9, 1.0), norms=(1e6, 1e-9), moving=True
+    )
+    B = 64
+    rng = np.random.default_rng(17)
+    cols = []
+    for fam in families:
+        if fam == Family.LOGNORMAL:
+            cols.append(
+                np.stack(
+                    [rng.uniform(10, 200, B), rng.uniform(-2.0, 0.5, B),
+                     rng.uniform(0.3, 1.0, B)],
+                    -1,
+                )
+            )
+        else:
+            cols.append(
+                np.stack(
+                    [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                     rng.uniform(0.5, 5.0, B)],
+                    -1,
+                )
+            )
+    params = np.stack(cols, axis=1)
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    want = np.asarray(get_coal_ints(data, pd.params_from_moments(spec, mom)))
+    fn = pc.make_pallas_coal_fn(data, block_cols=64, interpret=True)
+    got = np.asarray(fn(mom))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_pallas_moving_threshold_gauss_rule_close():
+    """MovingThreshold fast path: in-kernel per-column Gauss grid stays close
+    to the reference-rule evaluation."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (0.9, 1.0), norms=(1e6, 1e-9), moving=True
+    )
+    B = 64
+    mom = jnp.asarray(_random_moments(spec, B, seed=19))
+    ref = pc.make_pallas_coal_fn(data, block_cols=64, interpret=True)
+    fast = pc.make_pallas_coal_fn(
+        data, block_cols=64, interpret=True, quad_rule="gauss", gauss_nodes=16
     )
     a = np.asarray(ref(mom))
     b = np.asarray(fast(mom))
