@@ -24,11 +24,19 @@ import numpy as np
 
 REFERENCE_MOMENT_UPDATES_PER_S = 2.94e4  # see module docstring
 
-# The exact fast-path quadrature configuration benched on-chip. Accuracy at
-# THIS configuration is gated by tests/test_golden.py::
-# test_pallas_gauss_trajectory_allclose[bench] (max trajectory error 1.1e-4
-# vs the stored f64 reference-parity trajectory; 8 gammainc iterations fail
-# the 1e-3 gate at 1.8e-3 and are therefore not used).
+# The exact fast-path configuration benched on-chip. Accuracy at THIS
+# configuration is gated by tests/test_golden.py::
+# test_pallas_gauss_trajectory_allclose[bench] (trajectory error vs the
+# stored f64 reference-parity trajectory; 8 gammainc iterations fail the
+# 1e-3 gate at 1.8e-3 and are therefore not used).
+#
+# BENCH_F2_EXACT selects the exact autoconversion factorization
+# F2(p,q) = M_p·M_q·P(2k+p+q, T/θ) (coalescence._msh_matrix_gamma_exact):
+# one row-shaped incomplete gamma per column instead of a 12-point
+# quadrature grid of them — zero quadrature error AND ~10x less
+# transcendental work. BENCH_GAUSS_NODES only applies with
+# BENCH_F2_EXACT=0 (the quadrature fallback).
+BENCH_F2_EXACT = True
 BENCH_GAUSS_NODES = 12
 BENCH_GAMMAINC_ITERS = 12
 
@@ -46,8 +54,10 @@ def main():
     spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    f2_exact = bool(int(os.environ.get("BENCH_F2_EXACT", int(BENCH_F2_EXACT))))
     data = build_coalescence_data(
-        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12
+        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12,
+        f2_exact=f2_exact,
     )
 
     impl = os.environ.get("BENCH_IMPL", "pallas")

@@ -77,6 +77,9 @@ class CoalescenceData:
     n_points_max: int
     #: iterations for the incomplete-gamma evaluation
     gammainc_iters: int
+    #: evaluate gamma/exponential F2 by the exact factorization instead of
+    #: the reference's log-grid Simpson quadrature (see _msh_matrix_gamma_exact)
+    f2_exact: bool = False
 
 
 def _build_assembly_weights(spec: SpectrumSpec, kernels: np.ndarray, M: int):
@@ -139,6 +142,7 @@ def build_coalescence_data(
     moving: bool = False,
     n_points_max: Optional[int] = None,
     gammainc_iters: int = 128,
+    f2_exact: bool = False,
 ) -> CoalescenceData:
     """Precompute everything static for `get_coal_ints`.
 
@@ -148,6 +152,10 @@ def build_coalescence_data(
       "no threshold"); MovingThreshold (`moving=True`) → percentiles.
     - `norms`: (number, mass) scales; kernel tensors are normalized here and
       fixed thresholds divided by the mass norm (reference :63-84).
+    - `f2_exact`: gamma/exponential autoconversion matrices via the exact
+      factorization F2(p,q) = M_p·M_q·P(2k+p+q, T/θ) (one incomplete gamma
+      per column instead of a quadrature grid — the fast path; default False
+      keeps the reference's Simpson semantics bit-for-bit).
     """
     N = spec.n_modes
     if isinstance(kernel, CoalescenceTensor):
@@ -202,6 +210,7 @@ def build_coalescence_data(
         wf=wf,
         n_points_max=n_points_max,
         gammainc_iters=gammainc_iters,
+        f2_exact=f2_exact,
     )
 
 
@@ -277,6 +286,66 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
         - 2.0 * lgk
     )
     return raw * pref[..., None, :]
+
+
+def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int):
+    """Exact closed form of the gamma/exponential autoconversion matrix.
+
+    The 2-D partial integral the reference evaluates by nested quadrature
+    (moment_source_helper, ParticleDistributions.jl:567-612) factors exactly
+    for gamma-family densities: substituting s = x + x', u = x/s in
+
+        ∫∫_{x+x'<T} x^p x'^q f(x) f(x') dx dx'
+          = n²/(Γ(k)²θ^{2k}) ∫₀^T s^{p+q+2k−1} e^{−s/θ} ds
+                             ∫₀^1 u^{p+k−1}(1−u)^{q+k−1} du
+          = M_p · M_q · P(p + q + 2k, T/θ),
+
+    i.e. the u-integral is the complete Beta function and
+    B(p+k, q+k)·Γ(p+q+2k) = Γ(p+k)Γ(q+k) — equivalently, the sum of two
+    independent Gamma(p+k, θ) and Gamma(q+k, θ) tilted variables is
+    Gamma(p+q+2k, θ). One regularized-incomplete-gamma evaluation at the top
+    order 2k + 2M − 2 per column plus the forward-stable *downward*
+    recurrence P(a, x) = P(a+1, x) + x^a e^{−x}/Γ(a+1) yields every order
+    p + q = 0..2M−2; no quadrature grid, no quadrature error (validated
+    against scipy and the Simpson path in tests/test_coalescence.py).
+
+    Shapes: params [...] scalars; returns [..., M, M].
+    """
+    dtype = theta.dtype
+    tiny = jnp.finfo(dtype).tiny
+    # P(a, x) saturates to 1 far below x = 1e6 for every order here; the
+    # clamp keeps degenerate columns (θ → eps) finite (same clamp as
+    # special.gammainc_impl).
+    x = jnp.minimum(thr / theta, 1e6)
+    log_x = jnp.log(jnp.maximum(x, tiny))
+    a0 = 2.0 * k
+    # Poisson terms d_j = x^{2k+j} e^{−x}/Γ(2k+j+1), j = 0..2M−3, built
+    # upward multiplicatively from one exp/lgamma
+    d = special.exp(a0 * log_x - x - special.lgamma(a0 + 1.0))
+    d = jnp.where(x > 0.0, d, 0.0)
+    ds = [d]
+    for j in range(1, 2 * M - 2):
+        ds.append(ds[-1] * x / (a0 + j))
+    # top order directly, then downward (adds positive terms — stable)
+    gi = special.gammainc_impl(
+        a0 + (2.0 * M - 2.0), x, n_iters=iters, log_x=log_x
+    )
+    gis = [gi]
+    for j in range(2 * M - 3, -1, -1):
+        gi = jnp.clip(gi + ds[j], 0.0, 1.0)
+        gis.append(gi)
+    gis.reverse()  # gis[s] = P(2k + s, T/θ)
+
+    # analytic moments M_p = n θ^p Γ(p+k)/Γ(k) by upward recurrence
+    ms = [n]
+    for p in range(1, M):
+        ms.append(ms[-1] * theta * (k + p - 1.0))
+    mp = jnp.stack(ms, axis=-1)  # [..., M]
+    gpq = jnp.stack(
+        [jnp.stack([gis[p + q] for q in range(M)], axis=-1) for p in range(M)],
+        axis=-2,
+    )  # [..., M, M]
+    return mp[..., :, None] * mp[..., None, :] * gpq
 
 
 def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int,
@@ -370,9 +439,15 @@ def get_finite_2d_integrals(
             n, p1, p2 = (params[..., i, j] for j in range(3))
             if fam in (Family.EXPONENTIAL, Family.GAMMA):
                 kk = p2 if fam == Family.GAMMA else jnp.ones_like(n)
-                msh = _msh_matrix_gamma(
-                    n, p1, kk, thr_safe, M, data.n_points_max, data.gammainc_iters
-                )
+                if data.f2_exact:
+                    msh = _msh_matrix_gamma_exact(
+                        n, p1, kk, thr_safe, M, data.gammainc_iters
+                    )
+                else:
+                    msh = _msh_matrix_gamma(
+                        n, p1, kk, thr_safe, M, data.n_points_max,
+                        data.gammainc_iters,
+                    )
             elif fam == Family.LOGNORMAL:
                 msh = _msh_matrix_lognormal(
                     n, p1, p2, thr_safe, M, data.n_points_max,

@@ -136,6 +136,7 @@ def make_pallas_coal_fn(
     gauss_nodes: int = 24,
     thr_newton_iters: int = 32,
     thr_gammainc_iters: int = 128,
+    f2_exact: Optional[bool] = None,
 ):
     """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` running the fused
     kernel. ``B`` must be a multiple of `block_cols`. Use ``interpret=True``
@@ -145,13 +146,19 @@ def make_pallas_coal_fn(
     integrand evaluations at better accuracy — the fast path).
     `thr_newton_iters`/`thr_gammainc_iters` control the MovingThreshold
     gamma-percentile Newton inversion (defaults match
-    distributions.compute_thresholds for parity)."""
+    distributions.compute_thresholds for parity). ``f2_exact`` (default:
+    ``data.f2_exact``) switches gamma/exponential F2 matrices to the exact
+    factorization M_p·M_q·P(2k+p+q, T/θ) — one row-shaped incomplete gamma
+    per column instead of a quadrature grid (see
+    coalescence._msh_matrix_gamma_exact); lognormal keeps its quadrature."""
     if not pallas_supported(data):
         raise ValueError("configuration not supported by the Pallas kernel")
     spec = data.spec
     N, M, P = spec.n_modes, data.M, data.P
     n_tot = spec.n_tot
     iters = gammainc_iters or data.gammainc_iters
+    if f2_exact is None:
+        f2_exact = data.f2_exact
 
     wb_nz = _wb_nonzeros(data)
     wf_nz = _wf_nonzeros(data)
@@ -168,9 +175,15 @@ def make_pallas_coal_fn(
         return bool(np.isfinite(data.thresholds[i]))
 
     thresholded_modes = [i for i in range(N) if _thresholded(i)]
+    # modes needing a quadrature grid: mono F2 is closed-form, and with
+    # f2_exact gamma/exp F2 is too — only lognormal keeps its grid then
+    _gridless = (
+        (Family.MONODISPERSE, Family.GAMMA, Family.EXPONENTIAL)
+        if f2_exact
+        else (Family.MONODISPERSE,)
+    )
     grid_modes = [
-        i for i in thresholded_modes
-        if spec.families[i] != Family.MONODISPERSE
+        i for i in thresholded_modes if spec.families[i] not in _gridless
     ]
 
     # static quadrature inputs — passed as kernel INPUTS (Pallas forbids
@@ -352,6 +365,37 @@ def make_pallas_coal_fn(
                     f2i[(p, q)] = raw * prefs[q]
             return f2i
 
+        def _f2_gamma_exact(i, T, n, theta, k):
+            """Exact gamma/exponential F2 (see
+            coalescence._msh_matrix_gamma_exact): F2(p,q) = M_p·M_q·
+            P(2k+p+q, T/θ) — one row-shaped [1, TB] incomplete gamma at the
+            top order plus the downward Poisson recurrence; no grid."""
+            x = jnp.minimum(T / theta, 1e6)
+            log_x = jnp.log(jnp.maximum(x, tiny))
+            a0 = 2.0 * k
+            d = special.exp(a0 * log_x - x - special.lgamma(a0 + 1.0))
+            d = jnp.where(x > 0.0, d, 0.0)
+            ds = [d]
+            for j in range(1, 2 * M - 2):
+                ds.append(ds[-1] * x / (a0 + j))
+            gi = special.gammainc_impl(
+                a0 + (2.0 * M - 2.0), x, n_iters=iters, log_x=log_x
+            )
+            gis = [gi]
+            for j in range(2 * M - 3, -1, -1):
+                gi = jnp.clip(gi + ds[j], 0.0, 1.0)
+                gis.append(gi)
+            gis.reverse()  # gis[s] = P(2k + s, T/θ)
+
+            mm_rows = mf[i]
+            f2i = {}
+            for p in range(M):
+                for q in range(p, M):
+                    if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
+                        continue
+                    f2i[(p, q)] = mm_rows[p] * mm_rows[q] * gis[p + q]
+            return f2i
+
         def _f2_lognormal(i, x, w, dx, T, n, mu, sig):
             """Lognormal F2 via exact Φ partial moments (mirrors
             coalescence._msh_matrix_lognormal; erf through gammainc — lax.erf
@@ -408,6 +452,9 @@ def make_pallas_coal_fn(
                         f2i[(p, q)] = jnp.where(
                             below, mm_rows[p] * mm_rows[q], 0.0
                         )
+            elif f2_exact and fam in (Family.GAMMA, Family.EXPONENTIAL):
+                kk = p2 if fam == Family.GAMMA else jnp.ones_like(p1)
+                f2i = _f2_gamma_exact(i, T, n, p1, kk)
             else:
                 if data.moving:
                     x, w, dx, G = _moving_grid(0 if quad_rule == "gauss" else None, T)

@@ -2,6 +2,7 @@
 (reference test_kernel_tensor_approximation.jl)."""
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import common  # noqa: F401  (honors JAX_PLATFORMS before jax initializes)
 import numpy as np
 import matplotlib
 matplotlib.use("Agg")

@@ -251,3 +251,146 @@ def test_gammainc_downward_recurrence_m_scaling():
     significant = np.abs(want) > 1e-6 * scale
     rel = abs_err / np.maximum(np.abs(want), 1e-300)
     assert rel[significant].max() < 1e-10, rel[significant].max()
+
+
+def test_f2_exact_matches_scipy():
+    """The exact gamma/exponential F2 factorization
+    F2(p,q) = M_p·M_q·P(2k+p+q, T/θ) (coalescence._msh_matrix_gamma_exact;
+    the reference evaluates this 2-D partial integral by nested quadrature,
+    ParticleDistributions.jl:567-612) against a fully independent scipy
+    evaluation of the same closed form — pins the downward recurrence at
+    every order, M = 4 and M = 8."""
+    from scipy import special as sps
+
+    from cloudy_tpu.coalescence import _msh_matrix_gamma_exact
+
+    rng = np.random.default_rng(7)
+    B = 256
+    n = jnp.asarray(rng.uniform(10.0, 200.0, B))
+    theta = jnp.asarray(rng.uniform(1e-3, 5.0, B))
+    k = jnp.asarray(rng.uniform(2**-20, 10.0, B))
+    thr = jnp.asarray(rng.uniform(0.05, 50.0, B))
+    for M in (4, 8):
+        got = np.asarray(_msh_matrix_gamma_exact(n, theta, k, thr, M, 128))
+        nn, thn, kn, Tn = map(np.asarray, (n, theta, k, thr))
+        mp = np.stack(
+            [
+                nn * thn**p * np.exp(sps.gammaln(p + kn) - sps.gammaln(kn))
+                for p in range(M)
+            ],
+            -1,
+        )
+        want = np.empty_like(got)
+        for p in range(M):
+            for q in range(M):
+                want[..., p, q] = (
+                    mp[..., p]
+                    * mp[..., q]
+                    * sps.gammainc(2 * kn + p + q, Tn / thn)
+                )
+        scale = np.abs(want).max(axis=(-1, -2), keepdims=True)
+        assert (np.abs(got - want) / scale).max() < 1e-12
+        significant = np.abs(want) > 1e-6 * scale
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
+        assert rel[significant].max() < 1e-10, rel[significant].max()
+
+
+def test_f2_exact_vs_reference_simpson():
+    """The exact factorization vs the reference's log-grid Simpson
+    evaluation, split by shape parameter:
+
+    - k ≥ 0.5: the two agree to the Simpson rule's own accuracy
+      (normalized by M_p·M_q, the scale F2 enters the S-terms at) —
+      median ~1e-5, worst ~0.8% at k ≈ 0.5 where the truncated-tail term
+      (1e-5)^k starts to bite.
+    - k ≪ 1: the reference's rule truncates the near-singular density at
+      x_lo = 1e-5·T (ParticleDistributions.jl:579), losing ≈ P(k, x_lo/θ)
+      ~ (1e-5·T/θ)^k/Γ(k+1) of the mode's mass — up to ~27% of the (0,0)
+      entry at k ≈ 0.12. scipy.integrate.dblquad of the raw 2-D integral
+      confirms the EXACT value (0.94297 vs exact 0.94292 vs Simpson 0.671
+      at the worst sampled state), i.e. the discrepancy is the reference
+      rule's truncation error, not ours; the exact path is strictly more
+      accurate there. This subtest pins the discrepancy to the predicted
+      truncated-tail mass."""
+    from scipy import special as sps
+
+    from cloudy_tpu.coalescence import (
+        _msh_matrix_gamma,
+        _msh_matrix_gamma_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    B = 128
+    M = 4
+    n = jnp.asarray(rng.uniform(10.0, 200.0, B))
+    theta = jnp.asarray(rng.uniform(0.01, 2.0, B))
+    k = jnp.asarray(rng.uniform(0.5, 8.0, B))
+    thr = jnp.asarray(rng.uniform(0.5, 10.0, B) * np.asarray(theta * k))
+    simpson = np.asarray(_msh_matrix_gamma(n, theta, k, thr, M, 128, 128))
+    exact = np.asarray(_msh_matrix_gamma_exact(n, theta, k, thr, M, 128))
+    nn, thn, kn = map(np.asarray, (n, theta, k))
+    mp = np.stack(
+        [
+            nn * thn**p * np.exp(sps.gammaln(p + kn) - sps.gammaln(kn))
+            for p in range(M)
+        ],
+        -1,
+    )
+    mm = mp[:, :, None] * mp[:, None, :]
+    err = np.abs(simpson - exact) / mm
+    assert np.median(err) < 5e-5, np.median(err)
+    assert err.max() < 2e-2, err.max()
+
+    # k ≪ 1: the deviation IS the reference rule's truncated tail mass.
+    # With n = 1, the (0,0) entry equals P(2k, T/θ); the reference form's
+    # inner integral is exact (gammainc), only the outer Simpson truncates
+    # below x_lo, so Δ ≈ P(k, x_lo/θ) · P(k, T/θ) ∈ (0.5, 1)·P(k, x_lo/θ)
+    # for these states.
+    ksm = jnp.asarray(np.full(16, 0.12))
+    thsm = jnp.asarray(np.full(16, 0.2))
+    Tsm = jnp.asarray(np.linspace(0.05, 0.5, 16))
+    s_sm = np.asarray(
+        _msh_matrix_gamma(jnp.ones(16), thsm, ksm, Tsm, M, 128, 128)
+    )[:, 0, 0]
+    e_sm = np.asarray(
+        _msh_matrix_gamma_exact(jnp.ones(16), thsm, ksm, Tsm, M, 128)
+    )[:, 0, 0]
+    x_lo = np.minimum(1e-5, 1e-5 * np.asarray(Tsm))
+    pred = sps.gammainc(0.12, x_lo / 0.2) * sps.gammainc(
+        0.12, np.asarray(Tsm) / 0.2
+    )
+    delta = np.abs(e_sm - s_sm)
+    assert np.all(delta > 0.5 * pred), (delta, pred)
+    assert np.all(delta < 2.0 * pred), (delta, pred)
+
+
+def test_coal_ints_exact_matches_quadrature_path():
+    """Full get_coal_ints with f2_exact vs the default Simpson path on
+    consistent random two-mode states — trajectory-level equivalence of the
+    fast path is separately golden-gated (tests/test_golden.py)."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    kwargs = dict(dist_thresholds=(5e-10, np.inf), norms=(1e6, 1e-9))
+    data_s = build_coalescence_data(spec, ker, **kwargs)
+    data_e = build_coalescence_data(spec, ker, f2_exact=True, **kwargs)
+    rng = np.random.default_rng(13)
+    B = 256
+    params = np.stack(
+        [
+            np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                 rng.uniform(0.5, 5.0, B)],
+                -1,
+            )
+            for _ in spec.families
+        ],
+        axis=1,
+    )
+    mom = pd.get_moments(spec, jnp.asarray(params))
+    p = pd.params_from_moments(spec, mom)
+    a = np.asarray(get_coal_ints(data_s, p))
+    b = np.asarray(get_coal_ints(data_e, p))
+    scale = np.abs(a).max(axis=0, keepdims=True)
+    rel = np.abs(a - b) / (np.abs(a) + 1e-6 * scale)
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert np.quantile(rel, 0.99) < 5e-3, np.quantile(rel, 0.99)

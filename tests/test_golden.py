@@ -103,15 +103,20 @@ def _bench_config():
     spec_ = importlib.util.spec_from_file_location("bench", path)
     mod = importlib.util.module_from_spec(spec_)
     spec_.loader.exec_module(mod)
-    return mod.BENCH_GAUSS_NODES, mod.BENCH_GAMMAINC_ITERS
+    return dict(
+        gauss_nodes=mod.BENCH_GAUSS_NODES,
+        gammainc_iters=mod.BENCH_GAMMAINC_ITERS,
+        f2_exact=mod.BENCH_F2_EXACT,
+    )
 
 
-@pytest.mark.parametrize("cfg", ["gauss16", "bench"])
+@pytest.mark.parametrize("cfg", ["gauss16", "gauss-fallback", "bench"])
 def test_pallas_gauss_trajectory_allclose(cfg):
-    """Full trajectory through the fused Pallas kernel (Gauss quadrature
-    rule, interpret mode) stays within 1e-3 of the stored reference-parity
-    trajectory — at the high-accuracy Gauss-16 point AND at the exact
-    (gauss_nodes, gammainc_iters) configuration bench.py measures on-chip."""
+    """Full trajectory through the fused Pallas kernel (interpret mode)
+    stays within 1e-3 of the stored reference-parity trajectory — at the
+    high-accuracy Gauss-16 point, at the Gauss-12 quadrature fallback, AND
+    at the exact configuration bench.py measures on-chip (imported from
+    bench.py itself so the gated configuration cannot drift)."""
     from cloudy_tpu.ops import pallas_coalescence as pc
 
     sc = harness.SCENARIOS["box_exp_gamma_mixture"]()
@@ -120,12 +125,13 @@ def test_pallas_gauss_trajectory_allclose(cfg):
         get_moments_normalizing_factors(spec.nprogmoms, config.norms)
     )
     if cfg == "bench":
-        gauss_nodes, gammainc_iters = _bench_config()
+        kw = _bench_config()
+    elif cfg == "gauss-fallback":
+        kw = dict(_bench_config(), f2_exact=False)
     else:
-        gauss_nodes, gammainc_iters = 16, None
+        kw = dict(gauss_nodes=16, gammainc_iters=None, f2_exact=False)
     fn = pc.make_pallas_coal_fn(
-        data, block_cols=8, interpret=True, quad_rule="gauss",
-        gauss_nodes=gauss_nodes, gammainc_iters=gammainc_iters,
+        data, block_cols=8, interpret=True, quad_rule="gauss", **kw
     )
 
     def rhs(mom, t):
@@ -155,10 +161,9 @@ def test_rainshaft_128_pallas_coal_fn_trajectory_allclose():
 
     sc = harness.SCENARIOS["rainshaft_128"]()
     data, config = sc["data"], sc["config"]
-    gauss_nodes, gammainc_iters = _bench_config()
     coal = pc.make_pallas_coal_fn(
         data, block_cols=128, interpret=True, quad_rule="gauss",
-        gauss_nodes=gauss_nodes, gammainc_iters=gammainc_iters,
+        **_bench_config(),
     )
     rhs = jax.jit(rs.make_rainshaft_rhs(config, data, coal_fn=coal))
     ts, ys = rs.run_rainshaft(config, rhs, sc["ic"])

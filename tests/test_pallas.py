@@ -270,3 +270,44 @@ def test_pallas_moving_threshold_gauss_rule_close():
     rel = np.abs(a - b) / (np.abs(a) + 1e-6 * scale)
     assert np.median(rel) < 1e-4
     assert np.quantile(rel, 0.99) < 5e-3
+
+
+@pytest.mark.parametrize(
+    "families",
+    [
+        (Family.GAMMA, Family.GAMMA),
+        (Family.EXPONENTIAL, Family.GAMMA),
+        (Family.GAMMA, Family.LOGNORMAL, Family.GAMMA),
+    ],
+)
+def test_pallas_f2_exact_matches_xla_exact(families):
+    """f2_exact (the closed-form gamma/exp autoconversion factorization —
+    the bench fast path): fused kernel vs the XLA path, including a mixed
+    spec where the lognormal mode keeps its quadrature grid while the
+    gamma mode is gridless."""
+    spec = SpectrumSpec(families)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    thresholds = (5e-10,) * (len(families) - 1) + (np.inf,)
+    data = build_coalescence_data(
+        spec, ker, thresholds, norms=(1e6, 1e-9), f2_exact=True
+    )
+    mom = jnp.asarray(_random_moments(spec, 128, seed=17))
+    want = np.asarray(get_coal_ints(data, pd.params_from_moments(spec, mom)))
+    fn = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
+    got = np.asarray(fn(mom))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_f2_exact_moving_threshold():
+    """f2_exact composed with MovingThreshold (per-column percentile
+    thresholds in-kernel, closed-form F2 at those thresholds)."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (0.9, 1.0), norms=(1e6, 1e-9), moving=True, f2_exact=True
+    )
+    mom = jnp.asarray(_random_moments(spec, 128, seed=19))
+    want = np.asarray(get_coal_ints(data, pd.params_from_moments(spec, mom)))
+    fn = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
+    got = np.asarray(fn(mom))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
