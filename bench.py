@@ -122,7 +122,10 @@ def main():
 
     # The axon-tunneled runtime's block_until_ready does not reliably wait;
     # a scalar readback does, at a fixed RPC cost. Subtract it by timing two
-    # chain lengths (readback + compile-cache effects cancel).
+    # chain lengths (readback + compile-cache effects cancel). The chain
+    # length is chosen adaptively so the *differential* device time is
+    # ~0.5 s — far above the ~30 ms RPC jitter (at the exact-F2 rate a
+    # fixed 20-step chain runs in ~3 ms and measures only noise).
     def timed(n, reps=5):
         float(chain(mom, n))  # compile + warm
         ts = []
@@ -132,7 +135,9 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    n1, n2 = 3, 23
+    n1 = 3
+    dt_pilot = max((timed(n1 + 10) - timed(n1)) / 10, 1e-9)
+    n2 = n1 + int(np.clip(round(0.5 / dt_pilot), 20, 3000))
     dt = max((timed(n2) - timed(n1)) / (n2 - n1), 1e-12)
 
     updates_per_s = B * spec.n_tot / dt

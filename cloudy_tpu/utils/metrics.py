@@ -81,31 +81,48 @@ def coalescence_roofline(
     n_columns: int,
     n_modes: int,
     M: int,
-    n_grid: int,
+    n_grid: int = 0,
+    gammainc_iters: int = 12,
     dtype_bytes: int = 4,
-    peak_flops: float = 394e12,  # TPU v5e bf16; ~197e12 f32
+    vpu_flops: float = 3.9e12,  # v5e VPU: ~940 MHz x (8,128) vreg x 4 ALUs
     hbm_bw: float = 8.1e11,  # TPU v5e bytes/s
+    transcendental_slots: float = 8.0,
 ) -> Dict[str, float]:
     """Speed-of-light estimate for the fused coalescence step.
 
-    Dominant terms per column: the D²=(n_modes·M)² outer-product contraction
-    (2·D²·n_out flops), the [M, G]x[G, M] Simpson matmuls per thresholded
-    mode, and ~G incomplete-gamma evaluations (~60 flops each, iterative).
-    Bytes: state in + tendency out (the rest should stay in registers/VMEM
-    after fusion). Returns flops/bytes/arithmetic-intensity and the
-    min-latency bound.
+    The fused kernel is pure element-wise VPU work (the Q/R/S contraction is
+    unrolled sparse FMAs on lane rows — no matmuls), so the compute ceiling
+    is the VPU, not the MXU. Cost per column with the exact-F2 path
+    (``n_grid = 0``): one gammainc chain (~3·iters transcendental-class ops
+    + ~8·iters ALU) + closure inversion + moment recurrence + the bilinear
+    form (~2·D² FMA upper bound). With a quadrature grid (``n_grid > 0``)
+    the gammainc chain runs per grid point. Transcendental-class ops
+    (exp/log/div) are weighted `transcendental_slots`.
+
+    MEASURED against this model on the v5e (ROOFLINE.json, round 2): the
+    bench configuration runs at ~0.9 of the slot-weighted VPU ceiling and
+    ~0.2 of HBM — compute-bound, near speed of light. See tools/roofline.py
+    for the per-term op model and docs/performance.md for the numbers.
     """
     D = n_modes * M
     n_out = 3 * n_modes  # upper bound
-    flops_qrs = 2.0 * D * D * n_out
-    flops_f2 = (n_modes - 1) * (2.0 * M * n_grid * M + 60.0 * n_grid)
-    flops = n_columns * (flops_qrs + flops_f2)
+    reps = max(n_grid, 1) * max(n_modes - 1, 1)
+    trans = reps * (3.0 * gammainc_iters + 15.0) + 10.0 * n_modes
+    alu = (
+        reps * (8.0 * gammainc_iters + 25.0)
+        + 2.0 * D * D
+        + 2.0 * n_out * D
+        + 20.0 * n_modes
+    )
+    flops = n_columns * (alu + trans)
+    slots = n_columns * (alu + transcendental_slots * trans)
     bytes_ = n_columns * (2 * n_out) * dtype_bytes
     ai = flops / bytes_
-    t_compute = flops / peak_flops
+    t_compute = slots / vpu_flops
     t_mem = bytes_ / hbm_bw
     return {
         "flops": flops,
+        "slot_weighted_ops": slots,
         "bytes": bytes_,
         "arithmetic_intensity": ai,
         "t_compute_s": t_compute,

@@ -108,9 +108,15 @@ def test_step_timer():
 
 
 def test_roofline_sanity():
-    r = metrics.coalescence_roofline(1_000_000, 2, 4, 76)
+    r = metrics.coalescence_roofline(1_000_000, 2, 4, n_grid=76)
     assert r["flops"] > 0 and r["speed_of_light_s"] > 0
     assert r["bound"] in ("compute", "memory")
+    # exact-F2 path (no grid) must be strictly cheaper than the grid path
+    r0 = metrics.coalescence_roofline(1_000_000, 2, 4)
+    assert r0["slot_weighted_ops"] < r["slot_weighted_ops"]
+    # the ROOFLINE.json measurement context: the bench config is
+    # compute-bound (VPU), nowhere near the HBM roofline
+    assert r0["bound"] == "compute"
 
 
 def test_assert_no_retrace():

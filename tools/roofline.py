@@ -1,0 +1,224 @@
+"""Measure the fused coalescence kernel against its speed-of-light bound.
+
+VERDICT r1 #2: "measure the roofline instead of asserting it". This tool
+times the fused Pallas analytical-coalescence kernel on the real chip across
+ablations (F2 method, gammainc iterations, block size, batch size), counts
+the kernel's arithmetic work analytically from the same static data the
+kernel is built from, and reports measured utilization against both the
+VPU compute ceiling and the HBM bandwidth ceiling.
+
+The kernel is pure element-wise VPU work (no matmuls: the Q/R/S contraction
+is unrolled sparse FMAs on [1, TB] rows), so the relevant compute ceiling is
+the VPU, not the MXU: TPU v5e ~ 940 MHz x 8x128-lane vregs x 4 ALUs
+~ 3.9e12 f32 ops/s. Transcendentals (exp/log) and divides occupy the
+transcendental/slow path for multiple slots; we report a plain op count and
+a slot-weighted count (exp/log/div at ~8 slots) to bracket utilization.
+
+Timing uses the chained-scalar-readback protocol from bench.py (the axon
+runtime's block_until_ready does not wait; two chain lengths cancel the
+fixed RPC + readback cost).
+
+Usage:  python -u tools/roofline.py [--quick]   (runs on the default
+        platform — the axon TPU in this sandbox; writes ROOFLINE.json)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+VPU_OPS_PER_S = 3.9e12  # v5e: ~940 MHz x (8, 128) vreg x 4 ALUs
+HBM_BYTES_PER_S = 8.1e11  # v5e
+TRANSCENDENTAL_SLOTS = 8.0  # exp/log/div occupancy estimate (bracketing)
+
+
+def _op_counts(data, f2_exact, gauss_nodes, gammainc_iters):
+    """Analytic per-column arithmetic-work model of the fused kernel,
+    split into plain ALU ops and transcendental-class ops (exp/log/div/
+    lgamma-chains). Mirrors the kernel structure in
+    ops/pallas_coalescence.py; counts are per column (lane)."""
+    from cloudy_tpu.spec import Family
+    from cloudy_tpu.ops.pallas_coalescence import _wb_nonzeros, _wf_nonzeros
+
+    spec, M = data.spec, data.M
+    alu = 0.0
+    trans = 0.0
+
+    # closure inversion (_invert_rows): per 3-moment gamma mode ~8 alu + 2 div
+    for fam in spec.families:
+        if fam == Family.GAMMA:
+            alu += 10
+            trans += 3  # m2/m1, mean/denom, mean/k
+        elif fam == Family.LOGNORMAL:
+            alu += 12
+            trans += 5  # logs, sqrt, exp
+        else:
+            alu += 5
+            trans += 1
+
+    # diagnostic moment recurrence: (M-1) fused mul-adds per mode
+    for fam in spec.families:
+        alu += 2 * (M - 1)
+        if fam == Family.LOGNORMAL:
+            trans += M - 1  # exp per order
+
+    # lgamma (Lanczos): 9 divides + ~12 alu + 2 logs
+    lanczos_trans, lanczos_alu = 11.0, 14.0
+
+    # gammainc_impl at `iters`: series iters*(1 div + 2 alu) +
+    # contfrac iters*(2 div + 6 alu) + 2 exp + 1 log(ap1) + lgamma + ~10 alu
+    gi_trans = gammainc_iters * 3.0 + 3.0 + lanczos_trans
+    gi_alu = gammainc_iters * 8.0 + 10.0 + lanczos_alu
+
+    n_thresholded = sum(
+        1
+        for i in range(spec.n_modes - 1)
+        if data.moving or np.isfinite(data.thresholds[i])
+    )
+    for _ in range(n_thresholded):
+        if f2_exact:
+            # one gammainc + 1 log + 1 exp + lgamma (delta0) at ROW shape,
+            # deltas: (2M-3)*(1 div + 2 alu), downward adds 2M-2,
+            # f2 products ~ 2 per (p<=q) pair
+            trans += gi_trans + 2.0 + lanczos_trans + (2 * M - 3)
+            alu += gi_alu + (2 * M - 3) * 2 + (2 * M - 2) + M * (M + 1)
+        else:
+            # per grid point: gammainc + 2 exp + 1 log + delta chain,
+            # integrand rows: M muls, reductions: M*(M+1)/2 dot-terms
+            g = gauss_nodes
+            trans += g * (gi_trans + 3.0 + (M - 2))
+            alu += g * (gi_alu + 2 * (M - 2) + M + M * (M + 1))
+            trans += 2 * lanczos_trans + M  # prefactor chain (row shape)
+            alu += 3 * M
+
+    # Q/R/S sparse FMA contraction + F2 clamp/where
+    alu += 2.0 * (len(_wb_nonzeros(data)) + len(_wf_nonzeros(data)))
+    alu += 3.0 * n_thresholded * M * (M + 1) / 2
+
+    return alu, trans
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer ablations")
+    ap.add_argument("--out", default="ROOFLINE.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cloudy_tpu.spec import Family, SpectrumSpec
+    from cloudy_tpu import kernels as K
+    from cloudy_tpu.coalescence import build_coalescence_data
+    from cloudy_tpu.ops import pallas_coalescence as pc
+
+    dtype = jnp.float32
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+
+    rng = np.random.default_rng(0)
+    B_max = 1 << 20
+    mom_norms = np.concatenate([1e6 * 1e-9 ** np.arange(3)] * 2)
+    base = np.array([1e8, 1e-2, 2e-12, 1.0, 1e-8, 2e-16]) / mom_norms
+    amp = np.repeat(rng.uniform(0.5, 2.0, (B_max, 2)), 3, axis=1)
+    msc = np.repeat(rng.uniform(0.8, 1.25, (B_max, 2)), 3, axis=1) ** np.tile(
+        np.arange(3.0), 2
+    )
+    mom_all = jnp.asarray((base[None, :] * amp * msc).T, dtype)  # [n_tot, B]
+
+    def timed_rate(fn_soa, mom, reps=5, n1=3):
+        @partial(jax.jit, static_argnames=("n",))
+        def chain(m, n):
+            out = jax.lax.fori_loop(
+                0, n, lambda _, mm: mm + 1e-9 * fn_soa(mm), m
+            )
+            return jnp.sum(out)
+
+        def t(n):
+            float(chain(mom, n))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chain(mom, n))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        # adaptive chain length: differential device time ~0.5 s, far above
+        # the ~30 ms tunnel RPC jitter (see bench.py)
+        dt_pilot = max((t(n1 + 10) - t(n1)) / 10, 1e-9)
+        n2 = n1 + int(np.clip(round(0.5 / dt_pilot), 20, 3000))
+        dt = max((t(n2) - t(n1)) / (n2 - n1), 1e-12)
+        return mom.shape[1] / dt  # columns/s
+
+    records = []
+
+    def run(name, f2_exact, iters, block_cols, B, gauss_nodes=12):
+        data = build_coalescence_data(
+            spec, ker, (5e-10, np.inf), norms=norms,
+            gammainc_iters=iters, f2_exact=f2_exact,
+        )
+        fn = pc.make_pallas_coal_fn(
+            data, block_cols=block_cols, quad_rule="gauss",
+            gauss_nodes=gauss_nodes, gammainc_iters=iters,
+        )
+        cols_per_s = timed_rate(fn.soa, mom_all[:, :B])
+        alu, trans = _op_counts(data, f2_exact, gauss_nodes, iters)
+        ops = cols_per_s * (alu + trans)
+        slots = cols_per_s * (alu + TRANSCENDENTAL_SLOTS * trans)
+        bytes_per_s = cols_per_s * 2 * spec.n_tot * 4
+        rec = {
+            "name": name,
+            "f2_exact": f2_exact,
+            "gammainc_iters": iters,
+            "gauss_nodes": None if f2_exact else gauss_nodes,
+            "block_cols": block_cols,
+            "columns": B,
+            "columns_per_s": cols_per_s,
+            "moment_updates_per_s": cols_per_s * spec.n_tot,
+            "ops_per_column": alu + trans,
+            "trans_per_column": trans,
+            "plain_ops_per_s": ops,
+            "slot_weighted_ops_per_s": slots,
+            "vpu_utilization_plain": ops / VPU_OPS_PER_S,
+            "vpu_utilization_slotweighted": slots / VPU_OPS_PER_S,
+            "hbm_utilization": bytes_per_s / HBM_BYTES_PER_S,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # headline config (bench.py defaults)
+    run("bench-exact", True, 12, 4096, B_max)
+    if not args.quick:
+        # F2 ablation: the old grid-quadrature fast path
+        run("gauss12-grid", False, 12, 4096, B_max)
+        # gammainc-iteration sensitivity at the exact config
+        for it in (4, 24):
+            run(f"exact-iters{it}", True, it, 4096, B_max)
+        # block-size sweep
+        for bc in (1024, 8192, 16384):
+            run(f"exact-bc{bc}", True, 12, bc, B_max)
+        # batch scaling (per-device saturation; VERDICT r1 #5)
+        for b in (1 << 16, 1 << 18):
+            run(f"exact-B{b}", True, 12, 4096, b)
+
+    meta = {
+        "metric": "coalescence fused-kernel roofline (v5e, f32)",
+        "vpu_ops_per_s": VPU_OPS_PER_S,
+        "hbm_bytes_per_s": HBM_BYTES_PER_S,
+        "transcendental_slots": TRANSCENDENTAL_SLOTS,
+        "records": records,
+    }
+    with open(args.out, "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
