@@ -130,14 +130,25 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
     spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    # production fast path: exact F2 factorization at the accuracy-gated
+    # bench configuration (tests/test_golden.py gates this config at 1e-3
+    # against the stored f64 reference-parity trajectories)
     data = build_coalescence_data(
-        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=32
+        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12,
+        f2_exact=True,
     )
     nz = 32
     config = rs.RainshaftConfig(
         spec=spec, nz=nz, zmax=3000.0, norms=norms, t_end=10.0, dt=1.0
     )
-    rhs = rs.make_rainshaft_rhs(config, data)
+    coal_fn = None
+    if jax.default_backend() not in ("cpu",):
+        # fused Pallas kernel on the chip; the XLA path (same physics, same
+        # f2_exact algorithm) remains the CPU/portable fallback
+        from cloudy_tpu.ops import pallas_coalescence as pc
+
+        coal_fn = pc.make_pallas_coal_fn(data, block_cols=4096)
+    rhs = rs.make_rainshaft_rhs(config, data, coal_fn=coal_fn)
     mesh = make_mesh(("columns",))
     step = jax.jit(ensemble_rainshaft_step(rhs, config.dt, mesh))
 

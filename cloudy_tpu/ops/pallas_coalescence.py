@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cloudy_tpu.spec import Family
 from cloudy_tpu.coalescence import CoalescenceData
 from cloudy_tpu.ops import special
-from cloudy_tpu.ops.pallas_numerical import _invert_rows
+from cloudy_tpu.ops.pallas_numerical import _cache_bypass, _invert_rows
 from cloudy_tpu.ops.simpson import simpson_even_fast_weights
 
 
@@ -524,7 +524,7 @@ def make_pallas_coal_fn(
                 pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             )
             grid_args.append(jnp.asarray(g, mom_t.dtype))
-        return pl.pallas_call(
+        call = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(mom_t.shape, mom_t.dtype),
             grid=grid,
@@ -533,7 +533,9 @@ def make_pallas_coal_fn(
                 (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(mom_t, *grid_args)
+        )
+        with _cache_bypass(interpret):
+            return call(mom_t, *grid_args)
 
     def fn(mom):
         """[B, n_tot] -> [B, n_tot] (framework layout; transposes at entry)."""

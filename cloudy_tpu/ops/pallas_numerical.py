@@ -24,6 +24,8 @@ over static Gauss nodes s ∈ (0, 1) with y = s·x.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,6 +38,42 @@ from cloudy_tpu.ops import special
 from cloudy_tpu.ops.gauss import gauss_legendre
 
 _SQRT2PI = float(np.sqrt(2.0 * np.pi))
+
+
+@contextlib.contextmanager
+def _cache_bypass(interpret: bool):
+    """Disable the persistent compilation cache around interpret-mode
+    pallas_call executions.
+
+    Interpret-mode pallas lowers to an XLA program that embeds the Python
+    emulation; this sandbox's jax (0.9.0) will happily persist such an
+    executable when its compile exceeds the 1 s write threshold, and
+    loading it back CRASHES the process (observed: SIGSEGV in the
+    zstandard write path and SIGABRT in `get_executable_and_time` on read,
+    always at the one interpret kernel big enough to cross the threshold).
+    Compiled (Mosaic) kernels keep full cache participation.
+
+    Toggling `enable_compilation_cache` alone is NOT enough:
+    `compilation_cache.is_cache_used` latches its verdict process-globally
+    on first use, so the flag must be combined with `reset_cache()` on both
+    edges (reset drops only the in-process cache handle, not the on-disk
+    store).
+    """
+    if not interpret:
+        yield
+        return
+    try:
+        from jax._src import compilation_cache as _cc
+        from jax._src import config as _jconf
+    except Exception:  # pragma: no cover - future-jax fallback
+        yield
+        return
+    _cc.reset_cache()
+    with _jconf.enable_compilation_cache(False):
+        try:
+            yield
+        finally:
+            _cc.reset_cache()
 
 
 def _invert_rows(fam: Family, rows, eps, gamma_k_range=GAMMA_K_RANGE):
@@ -350,7 +388,7 @@ def make_pallas_numerical_fn(
                 )
             }
         )
-        return pl.pallas_call(
+        call = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(mom_t.shape, mom_t.dtype),
             grid=(B // block_cols,),
@@ -368,7 +406,9 @@ def make_pallas_numerical_fn(
                 (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(mom_t, jnp.asarray(glx, mom_t.dtype))
+        )
+        with _cache_bypass(interpret):
+            return call(mom_t, jnp.asarray(glx, mom_t.dtype))
 
     def fn(mom):
         """[B, n_tot] -> [B, n_tot] (framework layout)."""
