@@ -120,6 +120,52 @@ def make_rainshaft_rhs(
     return rhs
 
 
+def make_rainshaft_rhs_fused(config: RainshaftConfig, fused_fn):
+    """RHS over physical moments in the structure-of-arrays layout
+    ``[n_tot, ..., nz]`` via the fully fused Pallas RHS kernel
+    (`ops.pallas_coalescence.make_pallas_rainshaft_rhs_fn`): one kernel
+    launch computes both the coalescence tendency and the per-level
+    sedimentation flux; the only XLA ops left per evaluation are the upwind
+    flux divergence (the single z-coupling term) and the add.
+
+    This is the production pod-workload path: the SoA layout is the Pallas
+    kernel's native layout, so the per-stage ``[B, n_tot] ↔ [n_tot, B]``
+    transposes of the `coal_fn` route disappear, together with the XLA-side
+    closure inversion + lgamma/exp fractional moments the unfused
+    sedimentation flux performed per level. Physics identical to
+    `make_rainshaft_rhs` (same reference semantics, rainshaft_helpers.jl:
+    45-89); parity pinned in tests/test_pallas.py and tests/test_golden.py.
+
+    The flattened batch (product of all axes after the first) must be a
+    multiple of the kernel's `block_cols`.
+    """
+    n_tot = config.spec.n_tot
+
+    def rhs(mom, t):
+        del t
+        shape = mom.shape
+        out = fused_fn.soa(mom.reshape(n_tot, -1))
+        coal = out[:n_tot].reshape(shape)
+        flux = out[n_tot:].reshape(shape)
+        # upwind divergence, downward transport, zero influx at top (:80-86)
+        pad = [(0, 0)] * (mom.ndim - 1) + [(0, 1)]
+        flux_top = jnp.pad(flux, pad)
+        sedi = -(flux_top[..., 1:] - flux_top[..., :-1]) / config.dz
+        return coal + sedi
+
+    return rhs
+
+
+def to_soa(state):
+    """``[..., nz, n_tot]`` (framework layout) → ``[n_tot, ..., nz]``."""
+    return jnp.moveaxis(jnp.asarray(state), -1, 0)
+
+
+def from_soa(state):
+    """``[n_tot, ..., nz]`` → ``[..., nz, n_tot]``."""
+    return jnp.moveaxis(jnp.asarray(state), 0, -1)
+
+
 def run_rainshaft(config: RainshaftConfig, rhs, mom_init):
     n_steps = int(round(config.t_end / config.dt))
     return stepper.integrate(

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the analytical coalescence step.
+"""Fused Pallas TPU kernels for the analytical coalescence step.
 
 BUILD-NEW component (SURVEY.md §2): one kernel per block of columns fuses
 
@@ -10,6 +10,21 @@ entirely in VMEM/registers. The XLA einsum path (coalescence.py) materializes
 the ``[B, D²]`` outer product and ``[B, G, M]`` quadrature intermediates in
 HBM (~150 floats/column of traffic); this kernel reads ``n_tot`` floats per
 column and writes ``n_tot``.
+
+Two entry points share one physics body (`_make_coal_body`):
+
+- `make_pallas_coal_fn`: normalized moments → coalescence tendencies
+  (the RHS sub-operation bench.py measures).
+- `make_pallas_rainshaft_rhs_fn`: the FULL per-level rainshaft RHS —
+  physical moments in, physical (coalescence tendency, sedimentation flux)
+  out, with negative clipping, normalization, the empty-cell mask and the
+  fractional-moment flux (reference Sedimentation.jl:22-37) all fused into
+  the same kernel. The round-2 profile showed ~23x of each SSPRK33 stage
+  spent *outside* the coalescence kernel (XLA closure inversion + lgamma/exp
+  fractional moments per level for the flux, layout transposes at the
+  `coal_fn` boundary, normalize/denormalize passes); this kernel removes all
+  of it — the XLA remainder per stage is the upwind flux divergence and the
+  RK AXPYs, both trivially bandwidth-bound.
 
 Data layout: columns ride the TPU *lane* dimension (structure-of-arrays,
 ``[n_tot, B]`` blocks of ``[n_tot, TB]``), so every physics step is an
@@ -38,7 +53,8 @@ src/Sources/Coalescence.jl:115-185, ParticleDistributions.jl:557-625,721-761):
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import math
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -46,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cloudy_tpu.spec import Family
+from cloudy_tpu.spec import Family, get_moments_normalizing_factors
 from cloudy_tpu.coalescence import CoalescenceData
 from cloudy_tpu.ops import special
 from cloudy_tpu.ops.pallas_numerical import _cache_bypass, _invert_rows
@@ -127,34 +143,27 @@ def _static_grid_gauss(threshold: float, n_nodes: int = 24):
     return x, w, 1.0
 
 
-def make_pallas_coal_fn(
+def _make_coal_body(
     data: CoalescenceData,
-    block_cols: int = 512,
-    interpret: bool = False,
-    gammainc_iters: Optional[int] = None,
-    quad_rule: str = "reference",
-    gauss_nodes: int = 24,
-    thr_newton_iters: int = 32,
-    thr_gammainc_iters: int = 128,
-    f2_exact: Optional[bool] = None,
+    interpret: bool,
+    gammainc_iters: Optional[int],
+    quad_rule: str,
+    gauss_nodes: int,
+    thr_newton_iters: int,
+    thr_gammainc_iters: int,
+    f2_exact: Optional[bool],
 ):
-    """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` running the fused
-    kernel. ``B`` must be a multiple of `block_cols`. Use ``interpret=True``
-    for CPU testing. ``quad_rule``: "reference" keeps the reference's
-    log-grid Simpson rule (bit-identical to the XLA path); "gauss" uses
-    `gauss_nodes` Gauss–Legendre points on the same interval (~3x fewer
-    integrand evaluations at better accuracy — the fast path).
-    `thr_newton_iters`/`thr_gammainc_iters` control the MovingThreshold
-    gamma-percentile Newton inversion (defaults match
-    distributions.compute_thresholds for parity). ``f2_exact`` (default:
-    ``data.f2_exact``) switches gamma/exponential F2 matrices to the exact
-    factorization M_p·M_q·P(2k+p+q, T/θ) — one row-shaped incomplete gamma
-    per column instead of a quadrature grid (see
-    coalescence._msh_matrix_gamma_exact); lognormal keeps its quadrature."""
+    """Build the shared kernel physics: ``body(mom_rows, grid_refs) ->
+    (acc, params, mf)`` where `mom_rows` is the list of n_tot NORMALIZED
+    ``[1, TB]`` moment rows, `acc` the n_tot coalescence-tendency rows (None
+    = structurally zero), `params` the per-mode closure parameters and `mf`
+    the per-mode diagnostic moment rows. Returns ``(body, grid_inputs)``
+    with `grid_inputs` the static quadrature arrays the caller must pass as
+    extra kernel inputs."""
     if not pallas_supported(data):
         raise ValueError("configuration not supported by the Pallas kernel")
     spec = data.spec
-    N, M, P = spec.n_modes, data.M, data.P
+    N, M = spec.n_modes, data.M
     n_tot = spec.n_tot
     iters = gammainc_iters or data.gammainc_iters
     if f2_exact is None:
@@ -217,22 +226,17 @@ def make_pallas_coal_fn(
             for p in percentiles
         ]
 
-    def kernel(mom_ref, *refs):
-        grid_refs = refs[:-1]
-        out_ref = refs[-1]
-        dtype = mom_ref.dtype
+    def body(mom_rows, grid_refs):
+        dtype = mom_rows[0].dtype
         eps = jnp.finfo(dtype).eps
         tiny = jnp.finfo(dtype).tiny
-        TB = mom_ref.shape[1]
+        TB = mom_rows[0].shape[1]
 
         # ---- closure inversion per mode (rows are [1, TB] tiles) ----------
         params = []  # (n, p1, p2) per mode — same layout as distributions
         for i, fam in enumerate(spec.families):
             o = spec.offsets[i]
-            rows = [
-                mom_ref[o + j, :].reshape(1, TB)
-                for j in range(spec.nprogmoms[i])
-            ]
+            rows = [mom_rows[o + j] for j in range(spec.nprogmoms[i])]
             params.append(_invert_rows(fam, rows, eps))
 
         # ---- diagnostic moment recurrence: Mf[i][p], p = 0..M-1 -----------
@@ -501,20 +505,23 @@ def make_pallas_coal_fn(
                 continue
             term = c * v
             acc[o] = term if acc[o] is None else acc[o] + term
-        for o in range(n_tot):
-            out_ref[o, :] = (
-                acc[o][0, :] if acc[o] is not None else jnp.zeros((TB,), dtype)
-            )
+        return acc, params, mf
+
+    return body, grid_inputs
+
+
+def _pallas_soa_call(kernel, n_in, n_out, block_cols, grid_inputs, interpret):
+    """Wrap `kernel(mom_ref, *grid_refs, out_ref)` as a SoA function
+    ``[n_in, B] -> [n_out, B]`` blocked over columns."""
 
     def fn_soa(mom_t):
-        """[n_tot, B] -> [n_tot, B] (native layout)."""
         B = mom_t.shape[1]
         if B % block_cols != 0:
             raise ValueError(f"B={B} not a multiple of block_cols={block_cols}")
         grid = (B // block_cols,)
         in_specs = [
             pl.BlockSpec(
-                (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+                (n_in, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
             )
         ]
         grid_args = []
@@ -526,20 +533,195 @@ def make_pallas_coal_fn(
             grid_args.append(jnp.asarray(g, mom_t.dtype))
         call = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct(mom_t.shape, mom_t.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_out, B), mom_t.dtype),
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (n_tot, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
+                (n_out, block_cols), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
         )
         with _cache_bypass(interpret):
             return call(mom_t, *grid_args)
 
+    return fn_soa
+
+
+def make_pallas_coal_fn(
+    data: CoalescenceData,
+    block_cols: int = 512,
+    interpret: bool = False,
+    gammainc_iters: Optional[int] = None,
+    quad_rule: str = "reference",
+    gauss_nodes: int = 24,
+    thr_newton_iters: int = 32,
+    thr_gammainc_iters: int = 128,
+    f2_exact: Optional[bool] = None,
+):
+    """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` running the fused
+    kernel. ``B`` must be a multiple of `block_cols`. Use ``interpret=True``
+    for CPU testing. ``quad_rule``: "reference" keeps the reference's
+    log-grid Simpson rule (bit-identical to the XLA path); "gauss" uses
+    `gauss_nodes` Gauss–Legendre points on the same interval (~3x fewer
+    integrand evaluations at better accuracy — the fast path).
+    `thr_newton_iters`/`thr_gammainc_iters` control the MovingThreshold
+    gamma-percentile Newton inversion (defaults match
+    distributions.compute_thresholds for parity). ``f2_exact`` (default:
+    ``data.f2_exact``) switches gamma/exponential F2 matrices to the exact
+    factorization M_p·M_q·P(2k+p+q, T/θ) — one row-shaped incomplete gamma
+    per column instead of a quadrature grid (see
+    coalescence._msh_matrix_gamma_exact); lognormal keeps its quadrature."""
+    n_tot = data.spec.n_tot
+    body, grid_inputs = _make_coal_body(
+        data, interpret, gammainc_iters, quad_rule, gauss_nodes,
+        thr_newton_iters, thr_gammainc_iters, f2_exact,
+    )
+
+    def kernel(mom_ref, *refs):
+        grid_refs = refs[:-1]
+        out_ref = refs[-1]
+        dtype = mom_ref.dtype
+        TB = mom_ref.shape[1]
+        mom_rows = [mom_ref[o, :].reshape(1, TB) for o in range(n_tot)]
+        acc, _, _ = body(mom_rows, grid_refs)
+        for o in range(n_tot):
+            out_ref[o, :] = (
+                acc[o][0, :] if acc[o] is not None else jnp.zeros((TB,), dtype)
+            )
+
+    fn_soa = _pallas_soa_call(
+        kernel, n_tot, n_tot, block_cols, grid_inputs, interpret
+    )
+
     def fn(mom):
         """[B, n_tot] -> [B, n_tot] (framework layout; transposes at entry)."""
         return fn_soa(mom.T).T
 
     fn.soa = fn_soa
+    return fn
+
+
+def make_pallas_rainshaft_rhs_fn(
+    data: CoalescenceData,
+    vel: Sequence[Tuple[float, float]],
+    norms: Tuple[float, float],
+    block_cols: int = 512,
+    interpret: bool = False,
+    **coal_kwargs,
+):
+    """Fully fused per-level rainshaft RHS kernel.
+
+    ``fn.soa(mom_phys [n_tot, B]) -> [2·n_tot, B]``: rows ``[0, n_tot)`` are
+    the PHYSICAL coalescence tendencies (negative clipping, normalization,
+    closure inversion, F2, Q/R/S, empty-cell mask and denormalization all
+    in-kernel — replicating `models.rainshaft.make_rainshaft_rhs`'s
+    per-level semantics, reference rainshaft_helpers.jl:53-77); rows
+    ``[n_tot, 2·n_tot)`` are the PHYSICAL sedimentation moment fluxes
+    ``−Σ_k c_k·M_{m+e_k}`` (reference Sedimentation.jl:22-37) for the
+    *physical* power-law velocity `vel` (normalization of the coefficients
+    happens here). The caller applies the upwind flux divergence — the only
+    part of the RHS that couples z-levels.
+
+    Fractional moments use the per-mode recurrence
+    ``M_{m+1+e} = M_{m+e}·θ·(k+m+e)`` off one lgamma-pair base (gamma), a
+    static Γ(1+e) base (exponential), or the direct closed form
+    (lognormal/monodisperse) — 0-2 lgammas + 1-3 exps per mode instead of
+    XLA's 2 lgamma + 1 exp per (mode × moment × level) with HBM round trips
+    between them.
+    """
+    spec = data.spec
+    n_tot = spec.n_tot
+    mom_norms = [
+        float(v) for v in get_moments_normalizing_factors(spec.nprogmoms, norms)
+    ]
+    vel_n = tuple((float(c) * norms[1] ** float(e), float(e)) for (c, e) in vel)
+
+    body, grid_inputs = _make_coal_body(
+        data,
+        interpret,
+        coal_kwargs.pop("gammainc_iters", None),
+        coal_kwargs.pop("quad_rule", "reference"),
+        coal_kwargs.pop("gauss_nodes", 24),
+        coal_kwargs.pop("thr_newton_iters", 32),
+        coal_kwargs.pop("thr_gammainc_iters", 128),
+        coal_kwargs.pop("f2_exact", None),
+    )
+    if coal_kwargs:
+        raise TypeError(f"unknown kwargs: {sorted(coal_kwargs)}")
+
+    def kernel(mom_ref, *refs):
+        grid_refs = refs[:-1]
+        out_ref = refs[-1]
+        dtype = mom_ref.dtype
+        eps = jnp.finfo(dtype).eps
+        tiny = jnp.finfo(dtype).tiny
+        TB = mom_ref.shape[1]
+
+        # clip negatives (rainshaft_helpers.jl:53), normalize, and build the
+        # empty-cell mask (:67-68) in one pass over the input rows
+        mom_rows = []
+        empty = None
+        for o in range(n_tot):
+            r = jnp.maximum(mom_ref[o, :].reshape(1, TB), 0.0) * (
+                1.0 / mom_norms[o]
+            )
+            mom_rows.append(r)
+            lo = r < eps
+            empty = lo if empty is None else (empty & lo)
+
+        acc, params, _ = body(mom_rows, grid_refs)
+
+        # coalescence rows: empty-cell mask, denormalize
+        for o in range(n_tot):
+            row = (
+                acc[o]
+                if acc[o] is not None
+                else jnp.zeros((1, TB), dtype)
+            )
+            row = jnp.where(empty, 0.0, row) * mom_norms[o]
+            out_ref[o, :] = row[0, :]
+
+        # sedimentation flux rows (normalized units, denormalized per row)
+        for i, fam in enumerate(spec.families):
+            n, p1, p2 = params[i]
+            logp1 = jnp.log(jnp.maximum(p1, tiny))
+            flux = [None] * spec.nprogmoms[i]
+            for (c, e) in vel_n:
+                # fractional-moment ladder M_{m+e}, m = 0..nprog-1
+                if fam == Family.GAMMA:
+                    t = n * special.exp(
+                        e * logp1 + special.lgamma(p2 + e) - special.lgamma(p2)
+                    )
+                elif fam == Family.EXPONENTIAL:
+                    t = n * (math.gamma(1.0 + e)) * special.exp(e * logp1)
+                elif fam == Family.MONODISPERSE:
+                    t = n * special.exp(e * logp1)
+                for m in range(spec.nprogmoms[i]):
+                    q = m + e
+                    if fam == Family.LOGNORMAL:
+                        t = n * special.exp(q * p1 + 0.5 * q * q * p2 * p2)
+                    elif m > 0:
+                        if fam == Family.GAMMA:
+                            t = t * p1 * (p2 + (m - 1.0) + e)
+                        elif fam == Family.EXPONENTIAL:
+                            t = t * p1 * (m + e)
+                        elif fam == Family.MONODISPERSE:
+                            t = t * p1
+                    term = c * t
+                    flux[m] = term if flux[m] is None else flux[m] + term
+            for m in range(spec.nprogmoms[i]):
+                o = spec.offsets[i] + m
+                out_ref[n_tot + o, :] = (-flux[m] * mom_norms[o])[0, :]
+
+    fn_soa = _pallas_soa_call(
+        kernel, n_tot, 2 * n_tot, block_cols, grid_inputs, interpret
+    )
+
+    def fn(mom):
+        """[B, n_tot] physical -> ([B, n_tot] coal, [B, n_tot] flux)."""
+        out = fn_soa(mom.T)
+        return out[:n_tot].T, out[n_tot:].T
+
+    fn.soa = fn_soa
+    fn.n_tot = n_tot
     return fn

@@ -42,6 +42,36 @@ def shard_columns(
     return sharded
 
 
+def ensemble_rainshaft_step_soa(
+    rhs: Callable,
+    dt: float,
+    mesh: Mesh,
+    axis_name: str = "columns",
+    method: str = "ssprk33",
+):
+    """One sharded time step for a column ensemble in the Pallas kernel's
+    native structure-of-arrays layout ``[n_tot, n_columns, nz]`` (see
+    `models.rainshaft.make_rainshaft_rhs_fused`). Columns are sharded on the
+    middle axis; the step has zero collectives — identical scaling structure
+    to `ensemble_rainshaft_step`, minus the per-stage layout transposes."""
+    from cloudy_tpu import stepper as _st
+
+    step = _st.STEPPERS[method]
+    pspec = P(None, axis_name, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec,),
+        out_specs=pspec,
+        check_rep=False,
+    )
+    def sharded(y):
+        return step(rhs, y, jnp.asarray(0.0, y.dtype), dt)
+
+    return sharded
+
+
 def ensemble_rainshaft_step(
     rhs: Callable,
     dt: float,
@@ -49,17 +79,22 @@ def ensemble_rainshaft_step(
     axis_name: str = "columns",
     method: str = "ssprk33",
     with_diagnostics: bool = False,
+    spec=None,
 ):
     """One sharded time step for a column ensemble state
     ``[n_columns, nz, n_tot]``.
 
-    With `with_diagnostics=True` also returns the *global* total mass
-    (Σ M1 over every column and level) — a cross-shard `psum`, the only
-    collective in the step."""
+    With `with_diagnostics=True` also returns the *global* total mass —
+    Σ over every column, level and **mode** of that mode's M1 (flat index
+    ``spec.dist_moment_ind(i, 1)``, the same index math as
+    `utils.metrics.conservation_report`) — a cross-shard `psum`, the only
+    collective in the step. `spec` (a `SpectrumSpec`) is required in that
+    case: summing a single flat index would silently drop all mass promoted
+    into higher modes."""
     from cloudy_tpu import stepper as _st
 
     step = _st.STEPPERS[method]
-    spec = P(axis_name)
+    pspec = P(axis_name)
 
     def local_step(y):
         return step(rhs, y, jnp.asarray(0.0, y.dtype), dt)
@@ -67,16 +102,23 @@ def ensemble_rainshaft_step(
     if not with_diagnostics:
         return shard_columns(local_step, mesh, axis_name)
 
+    if spec is None:
+        raise ValueError(
+            "with_diagnostics=True needs the SpectrumSpec to locate every "
+            "mode's mass moment in the flat state vector"
+        )
+    mass_idx = tuple(spec.dist_moment_ind(i, 1) for i in range(spec.n_modes))
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(spec, P()),
+        in_specs=(pspec,),
+        out_specs=(pspec, P()),
         check_rep=False,
     )
     def sharded(y):
         y_next = local_step(y)
-        local_mass = jnp.sum(y_next[..., 1])
+        local_mass = sum(jnp.sum(y_next[..., o]) for o in mass_idx)
         total = jax.lax.psum(local_mass, axis_name)
         return y_next, total
 

@@ -34,7 +34,9 @@ from cloudy_tpu.coalescence import build_coalescence_data
 from cloudy_tpu.models import box, rainshaft as rs
 from cloudy_tpu.utils import io, plotting
 
-OUTDIR = os.path.join(os.path.dirname(__file__), "output")
+OUTDIR = os.environ.get(
+    "CLOUDY_TPU_OUTDIR", os.path.join(os.path.dirname(__file__), "output")
+)
 NORMS = (1e6, 1e-9)
 
 # CI fast tier (tests/test_examples.py runs EVERY example, mirroring the

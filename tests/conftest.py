@@ -15,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+import pytest
 
 # This sandbox preimports jax with JAX_PLATFORMS=axon (remote TPU tunnel);
 # the env vars above are therefore too late — switch the platform explicitly.
@@ -23,4 +24,30 @@ jax.config.update("jax_enable_x64", True)
 # Cache compilations across pytest runs.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run @pytest.mark.slow tests (flagship-scale live integrations)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: flagship-scale live re-integration (minutes of CPU); "
+        "excluded from the default tier, run with --runslow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 

@@ -74,7 +74,8 @@ local = global_state[pid * 4 : (pid + 1) * 4]
 y = jax.make_array_from_process_local_data(sharding, local, global_state.shape)
 
 step = jax.jit(
-    ensemble_rainshaft_step(rhs, config.dt, mesh, with_diagnostics=True)
+    ensemble_rainshaft_step(rhs, config.dt, mesh, with_diagnostics=True,
+                            spec=spec)
 )
 y1, total_mass = step(y)
 

@@ -26,7 +26,16 @@ from cloudy_tpu.spec import get_moments_normalizing_factors
 from _golden_cases import CASES, load_golden
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
+# rainshaft_128 re-integrates the full nz=128 × 300-step f64 scenario live —
+# minutes of CPU; the default tier keeps the same-physics nz=32 gate
+# (rainshaft_small) and defers the flagship size to the slow tier.
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n == "rainshaft_128" else n
+        for n in sorted(CASES)
+    ],
+)
 def test_f64_regression(name):
     ts_g, ys_g = load_golden(name)
     ts, ys = CASES[name]()
@@ -149,6 +158,7 @@ def test_pallas_gauss_trajectory_allclose(cfg):
     assert err.max() < 1e-3, err.max()
 
 
+@pytest.mark.slow
 def test_rainshaft_128_pallas_coal_fn_trajectory_allclose():
     """Flagship-scale BASELINE configs[3] (nz = 128, 300 s) through the fused
     Pallas coalescence hook (`make_rainshaft_rhs(coal_fn=...)`, the pod

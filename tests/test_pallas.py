@@ -311,3 +311,123 @@ def test_pallas_f2_exact_moving_threshold():
     fn = pc.make_pallas_coal_fn(data, block_cols=128, interpret=True)
     got = np.asarray(fn(mom))
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# fused full-RHS kernel (coalescence + sedimentation flux + clipping + masks)
+# ---------------------------------------------------------------------------
+
+
+def _rainshaft_state(spec, config, n_col, seed=23):
+    """Ensemble state [n_col, nz, n_tot] with per-column variation, empty
+    cells (the top-hat IC leaves most of the column zero) and a few
+    hand-planted NEGATIVE moments to exercise the in-kernel clipping."""
+    from cloudy_tpu.models import rainshaft as rs
+
+    ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12][: spec.nprogmoms[0]])
+    pad = np.zeros((config.nz, spec.n_tot - ic1.shape[1]))
+    ic = np.concatenate([ic1, pad], axis=-1)
+    state = np.tile(ic[None], (n_col, 1, 1))
+    state *= np.linspace(0.5, 1.5, n_col)[:, None, None]
+    state[0, config.nz // 2, 0] *= -1.0  # negative moment → must clip to 0
+    state[1, config.nz // 2 + 1, :] = -1e-3  # whole level negative → empty
+    return state
+
+
+@pytest.mark.parametrize("f2_exact", [False, True])
+def test_fused_rhs_matches_xla_rainshaft(f2_exact):
+    """The fully fused RHS kernel (clip + normalize + closure + coalescence +
+    empty mask + sedimentation flux in ONE Pallas kernel) reproduces the XLA
+    `make_rainshaft_rhs` evaluation, including the upwind divergence applied
+    outside."""
+    from cloudy_tpu.models import rainshaft as rs
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9), f2_exact=f2_exact
+    )
+    config = rs.RainshaftConfig(spec=spec, nz=16, zmax=3000.0, norms=(1e6, 1e-9))
+    state = jnp.asarray(_rainshaft_state(spec, config, 8))  # B = 8·16 = 128
+
+    want = np.asarray(rs.make_rainshaft_rhs(config, data)(state, 0.0))
+    fused = pc.make_pallas_rainshaft_rhs_fn(
+        data, config.vel, config.norms, block_cols=128, interpret=True
+    )
+    rhs = rs.make_rainshaft_rhs_fused(config, fused)
+    got = np.asarray(rs.from_soa(rhs(rs.to_soa(state), 0.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)
+
+
+def test_fused_rhs_flux_rows_match_sedimentation():
+    """The kernel's flux rows equal the XLA `get_sedimentation_flux` of the
+    clipped, normalized state — every family's fractional-moment ladder."""
+    from cloudy_tpu import distributions as pdists_
+    from cloudy_tpu.sedimentation import get_sedimentation_flux, normalized_velocity
+    from cloudy_tpu.spec import get_moments_normalizing_factors
+
+    spec = SpectrumSpec((Family.EXPONENTIAL, Family.LOGNORMAL, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    norms = (1e6, 1e-9)
+    data = build_coalescence_data(spec, ker, (2e-10, 5e-10, np.inf), norms=norms)
+    B = 128
+    rng = np.random.default_rng(29)
+    params = np.stack(
+        [
+            np.stack([rng.uniform(10, 200, B), rng.uniform(0.02, 0.5, B),
+                      np.zeros(B)], -1),
+            np.stack([rng.uniform(10, 200, B), rng.uniform(-2.0, 0.5, B),
+                      rng.uniform(0.3, 1.0, B)], -1),
+            np.stack([rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                      rng.uniform(0.5, 5.0, B)], -1),
+        ],
+        axis=1,
+    )
+    mom_n = np.array(pd.get_moments(spec, jnp.asarray(params)))
+    mom_n[:5] = 0.0  # degenerate columns → zero flux on both paths
+    mom_norms = get_moments_normalizing_factors(spec.nprogmoms, norms)
+    mom_phys = jnp.asarray(mom_n * mom_norms)
+
+    vel = ((50.0, 1.0 / 6.0), (3.0, 0.5))  # two power-law terms
+    fused = pc.make_pallas_rainshaft_rhs_fn(
+        data, vel, norms, block_cols=128, interpret=True
+    )
+    out = np.asarray(fused.soa(mom_phys.T))
+    got_flux = out[spec.n_tot:].T
+
+    vel_n = normalized_velocity(vel, norms)
+    params_n = pdists_.params_from_moments(spec, jnp.asarray(mom_n))
+    want_flux = np.asarray(
+        get_sedimentation_flux(spec, params_n, vel_n)
+    ) * np.asarray(mom_norms)
+    np.testing.assert_allclose(got_flux, want_flux, rtol=1e-9, atol=1e-300)
+    np.testing.assert_array_equal(got_flux[:5], 0.0)
+
+
+def test_fused_rhs_soa_step_matches_aos_step():
+    """A full SSPRK33 step in the SoA layout (the production pod path,
+    models.rainshaft.make_rainshaft_rhs_fused + stepper) equals the AoS
+    `make_rainshaft_rhs` step."""
+    from cloudy_tpu import stepper
+    from cloudy_tpu.models import rainshaft as rs
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9))
+    config = rs.RainshaftConfig(spec=spec, nz=16, zmax=3000.0, norms=(1e6, 1e-9))
+    state = jnp.asarray(_rainshaft_state(spec, config, 8))
+
+    rhs_aos = rs.make_rainshaft_rhs(config, data)
+    want = np.asarray(
+        stepper.ssprk33_step(rhs_aos, state, jnp.asarray(0.0, state.dtype), 1.0)
+    )
+
+    fused = pc.make_pallas_rainshaft_rhs_fn(
+        data, config.vel, config.norms, block_cols=128, interpret=True
+    )
+    rhs_soa = rs.make_rainshaft_rhs_fused(config, fused)
+    y = rs.to_soa(state)
+    got = np.asarray(
+        rs.from_soa(stepper.ssprk33_step(rhs_soa, y, jnp.asarray(0.0, y.dtype), 1.0))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)

@@ -62,16 +62,36 @@ def test_column_sharded_matches_single_device():
 
 
 def test_column_sharded_diagnostics_psum():
+    """The psum'd diagnostic must equal the *independently computed*
+    multi-mode total mass Σ_i M1^i — not just mode 0's M1. The initial state
+    puts real mass into mode 1, so the old single-index bug
+    (sum of ``out[..., 1]`` alone) fails this test."""
     spec, norms, data, config = _flagship()
     rhs = rs.make_rainshaft_rhs(config, data)
     mesh = make_mesh(("columns",))
-    step = ensemble_rainshaft_step(rhs, config.dt, mesh, with_diagnostics=True)
-    state = jnp.asarray(_ic(config, 8))
-    state = jax.device_put(state, NamedSharding(mesh, P("columns")))
-    out, total_mass = jax.jit(step)(state)
-    np.testing.assert_allclose(
-        float(total_mass), float(np.asarray(out)[..., 1].sum()), rtol=1e-10
+    step = ensemble_rainshaft_step(
+        rhs, config.dt, mesh, with_diagnostics=True, spec=spec
     )
+    state = np.asarray(_ic(config, 8))
+    # populate mode 1 (gamma) with 30% of mode 0's content so the promoted-
+    # mass term is nonzero and NOT captured by mode 0's M1 index
+    state[..., 3:6] = 0.3 * state[..., 0:3]
+    state = jax.device_put(jnp.asarray(state), NamedSharding(mesh, P("columns")))
+    out, total_mass = jax.jit(step)(state)
+    out_np = np.asarray(out)
+    expected = sum(
+        out_np[..., spec.dist_moment_ind(i, 1)].sum()
+        for i in range(spec.n_modes)
+    )
+    np.testing.assert_allclose(float(total_mass), float(expected), rtol=1e-10)
+    # and the old bug is detectably wrong here
+    mode0_only = out_np[..., 1].sum()
+    assert abs(mode0_only - expected) / abs(expected) > 1e-3
+
+    # omitting the spec with diagnostics on must raise, not silently
+    # mis-count
+    with pytest.raises(ValueError):
+        ensemble_rainshaft_step(rhs, config.dt, mesh, with_diagnostics=True)
 
 
 def test_z_sharded_halo_matches_unsharded():
