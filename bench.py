@@ -27,8 +27,13 @@ REFERENCE_MOMENT_UPDATES_PER_S = 2.94e4  # see module docstring
 # The exact fast-path configuration benched on-chip. Accuracy at THIS
 # configuration is gated by tests/test_golden.py::
 # test_pallas_gauss_trajectory_allclose[bench] (trajectory error vs the
-# stored f64 reference-parity trajectory; 8 gammainc iterations fail the
-# 1e-3 gate at 1.8e-3 and are therefore not used).
+# stored f64 reference-parity trajectory) AND, since round 3, by a PROVEN
+# worst-case bound: the incomplete gamma is evaluated by the fixed
+# Gauss-Legendre scheme (special.gammainc_gl, BENCH_GL_NODES nodes) whose
+# max absolute error over the entire reachable (a, x) domain is pinned
+# against scipy in tests/test_special.py (2.6e-7 at 12 nodes for
+# a in [4, 26] — the fixed-iteration series/CF it replaces had 1.7e-2 at
+# its x ~ a corner at the same cost).
 #
 # BENCH_F2_EXACT selects the exact autoconversion factorization
 # F2(p,q) = M_p·M_q·P(2k+p+q, T/θ) (coalescence._msh_matrix_gamma_exact):
@@ -39,6 +44,7 @@ REFERENCE_MOMENT_UPDATES_PER_S = 2.94e4  # see module docstring
 BENCH_F2_EXACT = True
 BENCH_GAUSS_NODES = 12
 BENCH_GAMMAINC_ITERS = 12
+BENCH_GL_NODES = 12
 
 
 def main():
@@ -55,9 +61,10 @@ def main():
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
     f2_exact = bool(int(os.environ.get("BENCH_F2_EXACT", int(BENCH_F2_EXACT))))
+    gl_nodes = int(os.environ.get("BENCH_GL_NODES", BENCH_GL_NODES))
     data = build_coalescence_data(
         spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12,
-        f2_exact=f2_exact,
+        f2_exact=f2_exact, gammainc_gl_nodes=gl_nodes,
     )
 
     impl = os.environ.get("BENCH_IMPL", "pallas")

@@ -80,6 +80,13 @@ class CoalescenceData:
     #: evaluate gamma/exponential F2 by the exact factorization instead of
     #: the reference's log-grid Simpson quadrature (see _msh_matrix_gamma_exact)
     f2_exact: bool = False
+    #: > 0 switches the F2 incomplete-gamma evaluations to the fixed
+    #: Gauss–Legendre scheme with this many nodes (`special.gammainc_gl`) —
+    #: PROVEN uniform accuracy over the reachable (a, x) domain (2.6e-7 at
+    #: 12 nodes for a ∈ [4, 26]), unlike fixed-iteration series/CF whose
+    #: error peaks at x ≈ a (1.7e-2 at 12 iterations, a = 26). 0 keeps the
+    #: series/CF pair at `gammainc_iters` (the f64 reference-parity default).
+    gammainc_gl_nodes: int = 0
 
 
 def _build_assembly_weights(spec: SpectrumSpec, kernels: np.ndarray, M: int):
@@ -143,6 +150,7 @@ def build_coalescence_data(
     n_points_max: Optional[int] = None,
     gammainc_iters: int = 128,
     f2_exact: bool = False,
+    gammainc_gl_nodes: int = 0,
 ) -> CoalescenceData:
     """Precompute everything static for `get_coal_ints`.
 
@@ -211,6 +219,7 @@ def build_coalescence_data(
         n_points_max=n_points_max,
         gammainc_iters=gammainc_iters,
         f2_exact=f2_exact,
+        gammainc_gl_nodes=gammainc_gl_nodes,
     )
 
 
@@ -219,7 +228,18 @@ def build_coalescence_data(
 # --------------------------------------------------------------------------
 
 
-def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
+def _gammainc_top(a, x, iters: int, gl_nodes: int, log_x=None):
+    """Top-order incomplete gamma of the F2 downward recurrences: the
+    Gauss–Legendre scheme when `gl_nodes` > 0 (proven uniform accuracy over
+    the reachable a ∈ [2, 26] domain — see special.gammainc_gl), else the
+    series/CF pair at `iters` iterations (reference-parity default)."""
+    if gl_nodes:
+        return special.gammainc_gl(a, x, n_nodes=gl_nodes)
+    return special.gammainc_impl(a, x, n_iters=iters, log_x=log_x)
+
+
+def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int,
+                      gl_nodes: int = 0):
     """Simpson/incomplete-gamma evaluation of the full M×M matrix of
     ∫∫ x^p x'^q f f' over the triangle x + x' < thr, for one gamma-family
     mode (exponential is the k = 1 special case — identical closed forms,
@@ -259,7 +279,7 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
         deltas.append(deltas[-1] * rem / (a0 + q))
     # top order directly, then accumulate downward (log_rem shared with the
     # Poisson-term chain above)
-    gi = special.gammainc_impl(a0 + (M - 1.0), rem, n_iters=iters, log_x=log_rem)
+    gi = _gammainc_top(a0 + (M - 1.0), rem, iters, gl_nodes, log_x=log_rem)
     gis = [gi]
     for q in range(M - 2, -1, -1):
         gi = jnp.clip(gi + deltas[q], 0.0, 1.0)
@@ -288,7 +308,8 @@ def _msh_matrix_gamma(n, theta, k, thr, M: int, n_points_max: int, iters: int):
     return raw * pref[..., None, :]
 
 
-def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int):
+def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int,
+                            gl_nodes: int = 0):
     """Exact closed form of the gamma/exponential autoconversion matrix.
 
     The 2-D partial integral the reference evaluates by nested quadrature
@@ -327,9 +348,7 @@ def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int):
     for j in range(1, 2 * M - 2):
         ds.append(ds[-1] * x / (a0 + j))
     # top order directly, then downward (adds positive terms — stable)
-    gi = special.gammainc_impl(
-        a0 + (2.0 * M - 2.0), x, n_iters=iters, log_x=log_x
-    )
+    gi = _gammainc_top(a0 + (2.0 * M - 2.0), x, iters, gl_nodes, log_x=log_x)
     gis = [gi]
     for j in range(2 * M - 3, -1, -1):
         gi = jnp.clip(gi + ds[j], 0.0, 1.0)
@@ -441,12 +460,14 @@ def get_finite_2d_integrals(
                 kk = p2 if fam == Family.GAMMA else jnp.ones_like(n)
                 if data.f2_exact:
                     msh = _msh_matrix_gamma_exact(
-                        n, p1, kk, thr_safe, M, data.gammainc_iters
+                        n, p1, kk, thr_safe, M, data.gammainc_iters,
+                        gl_nodes=data.gammainc_gl_nodes,
                     )
                 else:
                     msh = _msh_matrix_gamma(
                         n, p1, kk, thr_safe, M, data.n_points_max,
                         data.gammainc_iters,
+                        gl_nodes=data.gammainc_gl_nodes,
                     )
             elif fam == Family.LOGNORMAL:
                 msh = _msh_matrix_lognormal(
@@ -479,7 +500,7 @@ def get_finite_2d_integrals(
 # --------------------------------------------------------------------------
 
 
-def get_coal_ints(data: CoalescenceData, params) -> jnp.ndarray:
+def get_coal_ints(data: CoalescenceData, params, wb=None, wf=None) -> jnp.ndarray:
     """Coalescence tendencies of all prognostic moments, shape [..., n_tot].
 
     Input `params` is the dense distribution-parameter array
@@ -488,6 +509,10 @@ def get_coal_ints(data: CoalescenceData, params) -> jnp.ndarray:
     `get_coal_ints(::AnalyticalCoalStyle, …)` (src/Sources/Coalescence.jl:115-150)
     including the MovingThreshold variant (:152-185) when
     ``data.moving`` (per-step percentile thresholds, :164).
+
+    `wb`/`wf` optionally override the static assembly weight tensors with
+    traced arrays of the same shapes — the hook `make_kernel_diff_coal_fn`
+    uses to differentiate through the kernel coefficients.
     """
     spec = data.spec
     params = jnp.asarray(params)
@@ -506,13 +531,60 @@ def get_coal_ints(data: CoalescenceData, params) -> jnp.ndarray:
     D = spec.n_modes * data.M
     mf = mom.reshape(batch + (D,))
     outer = mf[..., :, None] * mf[..., None, :]
-    wb = jnp.asarray(data.wb.reshape(spec.n_tot, D * D).T, dtype)
-    wf = jnp.asarray(
-        data.wf.reshape(spec.n_tot, spec.n_modes * data.M * data.M).T, dtype
-    )
+    if wb is None:
+        wb = data.wb
+    if wf is None:
+        wf = data.wf
+    wb = jnp.asarray(wb, dtype).reshape(spec.n_tot, D * D).T
+    wf = jnp.asarray(wf, dtype).reshape(
+        spec.n_tot, spec.n_modes * data.M * data.M
+    ).T
     out = outer.reshape(batch + (D * D,)) @ wb
     out = out + f2.reshape(batch + (-1,)) @ wf
     return out
+
+
+def make_kernel_diff_coal_fn(data: CoalescenceData):
+    """Differentiable-in-the-kernel coalescence tendencies — the calibration
+    surface (a capability the reference lacks: CliMA calibrates Cloudy.jl
+    with gradient-free ensemble Kalman methods precisely because the Julia
+    stack has no adjoint).
+
+    `_build_assembly_weights` is LINEAR in the normalized per-pair kernel
+    coefficient array ``kernels [N, N, P, P]``, so the folded Q/R/S weight
+    tensors can be re-contracted inside a traced function from a one-hot
+    basis precomputed here:
+
+        wb(kernels) = Σ_{jkab} kernels[j,k,a,b] · WB_basis[j,k,a,b]
+
+    Returns ``fn(params, kernels) -> [..., n_tot]`` where `kernels` is a
+    traced array in NORMALIZED units (what `CoalescenceData.kernels`
+    stores); gradients flow to every coefficient. Validated against central
+    finite differences in tests/test_autodiff.py.
+    """
+    spec = data.spec
+    N, P, M = spec.n_modes, data.P, data.M
+    wb_basis = np.zeros((N, N, P, P) + data.wb.shape)
+    wf_basis = np.zeros((N, N, P, P) + data.wf.shape)
+    for j in range(N):
+        for k in range(N):
+            for a in range(P):
+                for b in range(P):
+                    onehot = np.zeros((N, N, P, P))
+                    onehot[j, k, a, b] = 1.0
+                    wb1, wf1 = _build_assembly_weights(spec, onehot, M)
+                    wb_basis[j, k, a, b] = wb1
+                    wf_basis[j, k, a, b] = wf1
+    wb_basis = wb_basis.reshape(N * N * P * P, -1)
+    wf_basis = wf_basis.reshape(N * N * P * P, -1)
+
+    def fn(params, kernels):
+        kflat = jnp.asarray(kernels).reshape(-1)
+        wb = (kflat @ jnp.asarray(wb_basis, kflat.dtype)).reshape(data.wb.shape)
+        wf = (kflat @ jnp.asarray(wf_basis, kflat.dtype)).reshape(data.wf.shape)
+        return get_coal_ints(data, params, wb=wb, wf=wf)
+
+    return fn
 
 
 def make_coal_rhs(data: CoalescenceData, norms: Tuple[float, float] = (1.0, 1.0)):

@@ -121,49 +121,70 @@ def _scenario_rainshaft_128():
 
 def _scenario_pod_ensemble(n_columns: int = 1 << 20):
     """BASELINE configs[4]: column ensemble sharded over the mesh (run on
-    however many devices are present; on a pod slice this spans hosts)."""
+    however many devices are present; on a pod slice this spans hosts).
+
+    On an accelerator backend this runs the round-3 production path: the
+    FULLY FUSED Pallas RHS kernel (coalescence f2_exact + GL-12 incomplete
+    gamma + sedimentation flux in one kernel) over the flat SoA layout,
+    sharded with `ensemble_rainshaft_step_soa` — 2.2e7 column-updates/s per
+    v5e chip (PROFILE.json). The XLA path on the AoS layout (same physics)
+    remains the CPU/portable fallback."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cloudy_tpu.parallel.mesh import make_mesh
-    from cloudy_tpu.parallel.ensemble import ensemble_rainshaft_step
+    from cloudy_tpu.parallel.ensemble import (
+        ensemble_rainshaft_step,
+        ensemble_rainshaft_step_soa,
+    )
 
     spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
-    # production fast path: exact F2 factorization at the accuracy-gated
-    # bench configuration (tests/test_golden.py gates this config at 1e-3
-    # against the stored f64 reference-parity trajectories)
+    # production fast path: exact F2 factorization + proven-bound GL
+    # incomplete gamma, at the accuracy-gated bench configuration
+    # (tests/test_golden.py gates this config at 1e-3 against the stored
+    # f64 reference-parity trajectories; tests/test_special.py pins the
+    # 2.6e-7 worst-case gammainc bound)
     data = build_coalescence_data(
         spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12,
-        f2_exact=True,
+        f2_exact=True, gammainc_gl_nodes=12,
     )
     nz = 32
     config = rs.RainshaftConfig(
         spec=spec, nz=nz, zmax=3000.0, norms=norms, t_end=10.0, dt=1.0
     )
-    coal_fn = None
-    if jax.default_backend() not in ("cpu",):
-        # fused Pallas kernel on the chip; the XLA path (same physics, same
-        # f2_exact algorithm) remains the CPU/portable fallback
-        from cloudy_tpu.ops import pallas_coalescence as pc
-
-        coal_fn = pc.make_pallas_coal_fn(data, block_cols=4096)
-    rhs = rs.make_rainshaft_rhs(config, data, coal_fn=coal_fn)
     mesh = make_mesh(("columns",))
-    step = jax.jit(ensemble_rainshaft_step(rhs, config.dt, mesh))
+    n_dev = len(mesh.devices.flat)
+    n_cols = max(n_columns // n_dev, 1) * n_dev
 
     ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
     ic = np.concatenate([ic1, np.zeros_like(ic1)], axis=-1)
-    n_dev = len(mesh.devices.flat)
-    n_cols = max(n_columns // n_dev, 1) * n_dev
-    state = jnp.asarray(np.tile(ic[None], (n_cols, 1, 1)), jnp.float32)
-    state = jax.device_put(state, NamedSharding(mesh, P("columns")))
+    state_aos = jnp.asarray(np.tile(ic[None], (n_cols, 1, 1)), jnp.float32)
+
+    fused_soa = jax.default_backend() not in ("cpu",)
+    if fused_soa:
+        from cloudy_tpu.ops import pallas_coalescence as pc
+
+        fused = pc.make_pallas_rainshaft_rhs_fn(
+            data, config.vel, config.norms, block_cols=4096
+        )
+        rhs = rs.make_rainshaft_rhs_fused(config, fused)
+        step = jax.jit(ensemble_rainshaft_step_soa(rhs, config.dt, mesh))
+        state = jax.device_put(
+            rs.to_soa(state_aos), NamedSharding(mesh, P(None, "columns"))
+        )
+    else:
+        rhs = rs.make_rainshaft_rhs(config, data)
+        step = jax.jit(ensemble_rainshaft_step(rhs, config.dt, mesh))
+        state = jax.device_put(state_aos, NamedSharding(mesh, P("columns")))
 
     def run():
         y = state
         n_steps = int(round(config.t_end / config.dt))
         for _ in range(n_steps):
             y = step(y)
+        if fused_soa:
+            y = rs.from_soa(y, nz)
         jax.block_until_ready(y)
         return jnp.arange(n_steps + 1.0), y[None]
 

@@ -121,49 +121,61 @@ def make_rainshaft_rhs(
 
 
 def make_rainshaft_rhs_fused(config: RainshaftConfig, fused_fn):
-    """RHS over physical moments in the structure-of-arrays layout
-    ``[n_tot, ..., nz]`` via the fully fused Pallas RHS kernel
+    """RHS over physical moments in the FLAT structure-of-arrays layout
+    ``[n_tot, B]`` (B = n_columns·nz, z contiguous/fastest within each
+    column) via the fully fused Pallas RHS kernel
     (`ops.pallas_coalescence.make_pallas_rainshaft_rhs_fn`): one kernel
     launch computes both the coalescence tendency and the per-level
     sedimentation flux; the only XLA ops left per evaluation are the upwind
     flux divergence (the single z-coupling term) and the add.
 
-    This is the production pod-workload path: the SoA layout is the Pallas
-    kernel's native layout, so the per-stage ``[B, n_tot] ↔ [n_tot, B]``
-    transposes of the `coal_fn` route disappear, together with the XLA-side
-    closure inversion + lgamma/exp fractional moments the unfused
-    sedimentation flux performed per level. Physics identical to
-    `make_rainshaft_rhs` (same reference semantics, rainshaft_helpers.jl:
-    45-89); parity pinned in tests/test_pallas.py and tests/test_golden.py.
+    Why FLAT: the flat layout is simultaneously the Pallas kernel's native
+    layout AND fully aligned to the TPU's (8, 128) vector tiling, so no
+    transposes, reshapes or relayouts appear anywhere in the step. Measured
+    on the v5e (PROFILE.json): a ``[n_tot, E, nz]`` state with nz = 32 on
+    the lane dimension costs ~2.9 ms/RHS in relayouts around the kernel
+    call — ~7x the kernel itself; the flat formulation removes it. The
+    divergence becomes a lane-shift: level i's upstream flux F[i+1] is the
+    next flat element within the column (z is contiguous), zeroed at each
+    column's top level by a periodic iota mask — replicating the padded
+    `jnp.diff` of `make_rainshaft_rhs` exactly (reference
+    rainshaft_helpers.jl:80-86).
 
-    The flattened batch (product of all axes after the first) must be a
-    multiple of the kernel's `block_cols`.
+    Physics identical to `make_rainshaft_rhs` (same reference semantics,
+    rainshaft_helpers.jl:45-89); parity pinned in tests/test_pallas.py.
+    ``B`` must be a multiple of the kernel's `block_cols` and of nz.
     """
     n_tot = config.spec.n_tot
+    nz = config.nz
 
     def rhs(mom, t):
         del t
-        shape = mom.shape
-        out = fused_fn.soa(mom.reshape(n_tot, -1))
-        coal = out[:n_tot].reshape(shape)
-        flux = out[n_tot:].reshape(shape)
-        # upwind divergence, downward transport, zero influx at top (:80-86)
-        pad = [(0, 0)] * (mom.ndim - 1) + [(0, 1)]
-        flux_top = jnp.pad(flux, pad)
-        sedi = -(flux_top[..., 1:] - flux_top[..., :-1]) / config.dz
-        return coal + sedi
+        B = mom.shape[-1]
+        out = fused_fn.soa(mom)
+        coal, flux = out[:n_tot], out[n_tot:]
+        # upwind divergence, downward transport, zero influx at top (:80-86):
+        # F[i+1] is the next lane within the column; the column's last level
+        # (its top) sees zero inflow
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        top = (j % nz) == (nz - 1)
+        f_up = jnp.where(top, 0.0, jnp.roll(flux, -1, axis=-1))
+        return coal - (f_up - flux) / config.dz
 
     return rhs
 
 
 def to_soa(state):
-    """``[..., nz, n_tot]`` (framework layout) → ``[n_tot, ..., nz]``."""
-    return jnp.moveaxis(jnp.asarray(state), -1, 0)
+    """``[..., nz, n_tot]`` (framework layout) → flat SoA ``[n_tot, B]``
+    with z contiguous within each column (the fused-step layout)."""
+    s = jnp.moveaxis(jnp.asarray(state), -1, 0)
+    return s.reshape(s.shape[0], -1)
 
 
-def from_soa(state):
-    """``[n_tot, ..., nz]`` → ``[..., nz, n_tot]``."""
-    return jnp.moveaxis(jnp.asarray(state), 0, -1)
+def from_soa(state, nz: int):
+    """Flat SoA ``[n_tot, B]`` → ``[B // nz, nz, n_tot]``."""
+    s = jnp.asarray(state)
+    n_tot = s.shape[0]
+    return jnp.moveaxis(s.reshape(n_tot, -1, nz), 0, -1)
 
 
 def run_rainshaft(config: RainshaftConfig, rhs, mom_init):

@@ -152,6 +152,7 @@ def _make_coal_body(
     thr_newton_iters: int,
     thr_gammainc_iters: int,
     f2_exact: Optional[bool],
+    gammainc_gl_nodes: Optional[int] = None,
 ):
     """Build the shared kernel physics: ``body(mom_rows, grid_refs) ->
     (acc, params, mf)`` where `mom_rows` is the list of n_tot NORMALIZED
@@ -168,6 +169,15 @@ def _make_coal_body(
     iters = gammainc_iters or data.gammainc_iters
     if f2_exact is None:
         f2_exact = data.f2_exact
+    if gammainc_gl_nodes is None:
+        gammainc_gl_nodes = data.gammainc_gl_nodes
+
+    def _gi_top(a, x, log_x=None):
+        # F2 top-order incomplete gamma: GL scheme when configured (proven
+        # uniform accuracy, see special.gammainc_gl), else series/CF
+        if gammainc_gl_nodes:
+            return special.gammainc_gl(a, x, n_nodes=gammainc_gl_nodes)
+        return special.gammainc_impl(a, x, n_iters=iters, log_x=log_x)
 
     wb_nz = _wb_nonzeros(data)
     wf_nz = _wf_nonzeros(data)
@@ -338,9 +348,7 @@ def _make_coal_body(
             for q in range(1, M - 1):
                 deltas.append(deltas[-1] * rem / (k + q))
             # top order directly, then the forward-stable downward recurrence
-            gi = special.gammainc_impl(
-                k + (M - 1.0), rem, n_iters=iters, log_x=log_rem
-            )
+            gi = _gi_top(k + (M - 1.0), rem, log_x=log_rem)
             gis = [gi]
             for q in range(M - 2, -1, -1):
                 gi = jnp.clip(gi + deltas[q], 0.0, 1.0)
@@ -382,9 +390,7 @@ def _make_coal_body(
             ds = [d]
             for j in range(1, 2 * M - 2):
                 ds.append(ds[-1] * x / (a0 + j))
-            gi = special.gammainc_impl(
-                a0 + (2.0 * M - 2.0), x, n_iters=iters, log_x=log_x
-            )
+            gi = _gi_top(a0 + (2.0 * M - 2.0), x, log_x=log_x)
             gis = [gi]
             for j in range(2 * M - 3, -1, -1):
                 gi = jnp.clip(gi + ds[j], 0.0, 1.0)
@@ -557,6 +563,7 @@ def make_pallas_coal_fn(
     thr_newton_iters: int = 32,
     thr_gammainc_iters: int = 128,
     f2_exact: Optional[bool] = None,
+    gammainc_gl_nodes: Optional[int] = None,
 ):
     """Build ``fn(mom_norm [B, n_tot]) -> [B, n_tot]`` running the fused
     kernel. ``B`` must be a multiple of `block_cols`. Use ``interpret=True``
@@ -575,6 +582,7 @@ def make_pallas_coal_fn(
     body, grid_inputs = _make_coal_body(
         data, interpret, gammainc_iters, quad_rule, gauss_nodes,
         thr_newton_iters, thr_gammainc_iters, f2_exact,
+        gammainc_gl_nodes=gammainc_gl_nodes,
     )
 
     def kernel(mom_ref, *refs):
@@ -645,6 +653,7 @@ def make_pallas_rainshaft_rhs_fn(
         coal_kwargs.pop("thr_newton_iters", 32),
         coal_kwargs.pop("thr_gammainc_iters", 128),
         coal_kwargs.pop("f2_exact", None),
+        gammainc_gl_nodes=coal_kwargs.pop("gammainc_gl_nodes", None),
     )
     if coal_kwargs:
         raise TypeError(f"unknown kwargs: {sorted(coal_kwargs)}")

@@ -231,6 +231,62 @@ def gammaincc(a, x, n_iters: int = 128):
     return 1.0 - gammainc(a, x, n_iters=n_iters)
 
 
+def gammainc_gl(a, x, n_nodes: int = 12):
+    """P(a, x) via fixed Gauss–Legendre integration of the gamma density
+    between x and a point deep in the far tail (the Numerical-Recipes
+    'gammpapprox' scheme, made branch-free) — the PROVEN-accuracy fast path
+    for moderate-to-large shape parameters.
+
+    Why it exists: a fixed-iteration series/continued-fraction pair has its
+    error concentrated at the branch point x ≈ a + 1, and the number of
+    iterations needed there grows like √a — at a = 26 (the largest order the
+    exact-F2 autoconversion path can request: a = 2k + 2M − 2 with the
+    reference's k ≤ 10 clip and M = 4) twelve iterations leave 1.7e-2
+    ABSOLUTE error, and ~32 are needed for 1e-6. This quadrature has no
+    branch point: measured max |error| over the full reachable domain
+    (a ∈ [4, 26] × x ∈ (0, 1e6]) is 2.6e-7 at 12 nodes in f64 (9.1e-6 at
+    10, 2.5e-4 at 8), degrading to 5.1e-5 on a ∈ [2, 4] — pinned against
+    scipy in tests/test_special.py. Requires a ≥ 2; callers with small a
+    (gammaincinv's Newton at a = k, erf at a = ½) keep the series/CF pair,
+    which converges fast there.
+
+    Cost: `n_nodes` (log + exp) + O(n_nodes) ALU — comparable to 12
+    series+CF iterations at ~65,000x better worst-case accuracy. Pallas-safe
+    (nodes unroll as scalar constants; exp/log/where only).
+    """
+    a = jnp.asarray(a)
+    x = jnp.asarray(x)
+    dtype = jnp.result_type(a, x)
+    a = a.astype(dtype)
+    # same large-x clamp as gammainc_impl (P has saturated long before)
+    x = jnp.minimum(x.astype(dtype), 1e6)
+    tiny = jnp.finfo(dtype).tiny
+
+    import numpy as _np
+
+    y, w = _np.polynomial.legendre.leggauss(n_nodes)
+
+    a1 = a - 1.0
+    sqa = jnp.sqrt(jnp.maximum(a1, tiny))
+    gln = lgamma(a)
+    # integration endpoint deep in the negligible tail (NR gammpapprox
+    # windows: 11.5σ/6σ above the mode, 7.5σ/5σ below, floored at 0)
+    xu_hi = jnp.maximum(a1 + 11.5 * sqa, x + 6.0 * sqa)
+    xu_lo = jnp.maximum(0.0, jnp.minimum(a1 - 7.5 * sqa, x - 5.0 * sqa))
+    above = x > a1
+    xu = jnp.where(above, xu_hi, xu_lo)
+    half = 0.5 * (xu - x)
+
+    s = None
+    for yj, wj in zip(y.tolist(), w.tolist()):
+        t = jnp.maximum(x + half * (yj + 1.0), tiny)
+        f = exp(a1 * jnp.log(t) - t - gln)
+        s = wj * f if s is None else s + wj * f
+    s = s * half
+    out = jnp.clip(jnp.where(above, 1.0 - s, -s), 0.0, 1.0)
+    return jnp.where(x > 0.0, out, jnp.zeros_like(out))
+
+
 # --------------------------------------------------------------------------
 # inverse of P(a, .)
 # --------------------------------------------------------------------------

@@ -50,14 +50,17 @@ def ensemble_rainshaft_step_soa(
     method: str = "ssprk33",
 ):
     """One sharded time step for a column ensemble in the Pallas kernel's
-    native structure-of-arrays layout ``[n_tot, n_columns, nz]`` (see
-    `models.rainshaft.make_rainshaft_rhs_fused`). Columns are sharded on the
-    middle axis; the step has zero collectives — identical scaling structure
-    to `ensemble_rainshaft_step`, minus the per-stage layout transposes."""
+    native FLAT structure-of-arrays layout ``[n_tot, n_columns·nz]`` (z
+    contiguous within each column — see
+    `models.rainshaft.make_rainshaft_rhs_fused`). Sharding the flat axis
+    splits on whole-column boundaries as long as each shard's size is a
+    multiple of nz (z never crosses devices, so the upwind stencil stays
+    local). Zero collectives — identical scaling structure to
+    `ensemble_rainshaft_step`, minus every per-stage layout transpose."""
     from cloudy_tpu import stepper as _st
 
     step = _st.STEPPERS[method]
-    pspec = P(None, axis_name, None)
+    pspec = P(None, axis_name)
 
     @functools.partial(
         shard_map,

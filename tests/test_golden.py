@@ -116,6 +116,7 @@ def _bench_config():
         gauss_nodes=mod.BENCH_GAUSS_NODES,
         gammainc_iters=mod.BENCH_GAMMAINC_ITERS,
         f2_exact=mod.BENCH_F2_EXACT,
+        gammainc_gl_nodes=mod.BENCH_GL_NODES,
     )
 
 

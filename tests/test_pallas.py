@@ -355,7 +355,7 @@ def test_fused_rhs_matches_xla_rainshaft(f2_exact):
         data, config.vel, config.norms, block_cols=128, interpret=True
     )
     rhs = rs.make_rainshaft_rhs_fused(config, fused)
-    got = np.asarray(rs.from_soa(rhs(rs.to_soa(state), 0.0)))
+    got = np.asarray(rs.from_soa(rhs(rs.to_soa(state), 0.0), config.nz))
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)
 
 
@@ -428,6 +428,9 @@ def test_fused_rhs_soa_step_matches_aos_step():
     rhs_soa = rs.make_rainshaft_rhs_fused(config, fused)
     y = rs.to_soa(state)
     got = np.asarray(
-        rs.from_soa(stepper.ssprk33_step(rhs_soa, y, jnp.asarray(0.0, y.dtype), 1.0))
+        rs.from_soa(
+            stepper.ssprk33_step(rhs_soa, y, jnp.asarray(0.0, y.dtype), 1.0),
+            config.nz,
+        )
     )
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)
