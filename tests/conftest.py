@@ -21,9 +21,14 @@ import pytest
 # the env vars above are therefore too late — switch the platform explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Cache compilations across pytest runs.
+# Cache compilations across pytest runs. Persist only non-trivial compiles:
+# persisting everything maximizes read/write traffic through the zstandard
+# cache layer, whose corruption by concurrent writers SIGSEGVs jax 0.9.0 on
+# subsequent reads (observed twice during full-suite runs sharing the cache
+# dir with other processes; see also CLAUDE.md gotcha on interpret-mode
+# pallas persistence).
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def pytest_addoption(parser):

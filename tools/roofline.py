@@ -104,9 +104,98 @@ def _op_counts(data, f2_exact, gauss_nodes, gammainc_iters):
     return alu, trans
 
 
+def _family_moments(families, B, seed=7):
+    """Physically consistent random moments for any family mix (draw
+    parameters, map to moments — as the parity tests do)."""
+    import jax.numpy as jnp
+
+    from cloudy_tpu.spec import Family
+    from cloudy_tpu import distributions as pd
+
+    rng = np.random.default_rng(seed)
+    cols = []
+    for fam in families:
+        if fam == Family.LOGNORMAL:
+            cols.append(np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(-2.0, 0.5, B),
+                 rng.uniform(0.3, 1.0, B)], -1))
+        elif fam == Family.MONODISPERSE:
+            cols.append(np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 0.6, B),
+                 np.zeros(B)], -1))
+        else:
+            cols.append(np.stack(
+                [rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                 rng.uniform(0.5, 5.0, B)], -1))
+    params = np.stack(cols, axis=1)
+    return np.asarray(pd.get_moments(None or _spec(families), jnp.asarray(params)))
+
+
+def _spec(families):
+    from cloudy_tpu.spec import SpectrumSpec
+
+    return SpectrumSpec(families)
+
+
+def run_families(records, timed_rate, B=1 << 19):
+    """Measured throughput for every distribution family as a THRESHOLDED
+    mode, plus MovingThreshold and a 3-mode spec (VERDICT r2 #6: put
+    numbers behind the four-family Pallas claims). The arithmetic-work
+    model only covers the fixed-threshold gamma paths, so these records
+    report measured rates without utilization fields."""
+    import jax.numpy as jnp
+
+    from cloudy_tpu.spec import Family
+    from cloudy_tpu import kernels as K
+    from cloudy_tpu.coalescence import build_coalescence_data
+    from cloudy_tpu.ops import pallas_coalescence as pc
+
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    cases = [
+        # (name, families, thresholds, moving, f2_exact, kernel kwargs)
+        ("exp-gamma-exact", (Family.EXPONENTIAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, {}),
+        ("lognorm-gamma-grid", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, False,
+         dict(quad_rule="gauss", gauss_nodes=12)),
+        ("mono-gamma-closed", (Family.MONODISPERSE, Family.GAMMA),
+         (5e-10, np.inf), False, True, {}),
+        ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
+         (0.9, 1.0), True, True,
+         dict(thr_newton_iters=8, thr_gammainc_iters=12)),
+        ("3mode-exp-logn-gamma", (Family.EXPONENTIAL, Family.LOGNORMAL,
+                                  Family.GAMMA),
+         (2e-10, 5e-10, np.inf), False, True,
+         dict(quad_rule="gauss", gauss_nodes=12)),
+    ]
+    for name, fams, thr, moving, f2x, kw in cases:
+        spec = _spec(fams)
+        data = build_coalescence_data(
+            spec, ker, thr, norms=norms, moving=moving,
+            gammainc_iters=12, f2_exact=f2x, gammainc_gl_nodes=12,
+        )
+        fn = pc.make_pallas_coal_fn(data, block_cols=4096, **kw)
+        mom = jnp.asarray(_family_moments(fams, B).T, jnp.float32)
+        cols_per_s = timed_rate(fn.soa, mom)
+        rec = {
+            "name": name,
+            "families": [f.name for f in fams],
+            "moving": moving,
+            "f2_exact": f2x,
+            "columns": B,
+            "columns_per_s": cols_per_s,
+            "moment_updates_per_s": cols_per_s * spec.n_tot,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer ablations")
+    ap.add_argument("--families", action="store_true",
+                    help="only the family/moving ablations; append to --out")
     ap.add_argument("--out", default="ROOFLINE.json")
     args = ap.parse_args()
 
@@ -158,6 +247,18 @@ def main():
         return mom.shape[1] / dt  # columns/s
 
     records = []
+
+    if args.families:
+        run_families(records, timed_rate)
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["family_records"] = records
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"appended family_records to {args.out}", flush=True)
+        return
 
     def run(name, f2_exact, iters, block_cols, B, gauss_nodes=12):
         data = build_coalescence_data(
