@@ -50,6 +50,10 @@ BENCH_GL_NODES = 12
 def main():
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the axon-tunnel compiles cost minutes; cache
+    # them across invocations (single-writer discipline — see CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from cloudy_tpu.spec import Family, SpectrumSpec
     from cloudy_tpu import kernels as K

@@ -368,13 +368,15 @@ def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int,
 
 
 def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int,
-                          erf_iters: int = 128):
+                          erf_iters: int = 128, erf_fast: bool = False):
     """Same reduction for a lognormal mode: inner integral is the exact
     partial moment n exp(qμ + q²σ²/2) Φ((ln(T−x) − μ − qσ²)/σ); outer
     integral on the reference log grid (the reference used nested adaptive
     quadrature, ParticleDistributions.jl:614-625). Φ is evaluated through
     `special.erf_impl` — the Pallas-safe erf — so this XLA path and the fused
-    Pallas kernel are bit-identical."""
+    Pallas kernel are bit-identical. `erf_fast` switches to the rational
+    `special.erf_approx` (proven 1.5e-7 bound, ~10x fewer slot-weighted ops
+    per grid point) — the production fast path."""
     dtype = mu.dtype
     x, dx, n_bins = threshold_log_grid(thr, n_points_max, dtype)
     w = simpson_even_fast_weights_dynamic(n_points_max, n_bins, dtype)
@@ -394,9 +396,13 @@ def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int,
     z = (logrem[..., None, :] - mu_[..., None, :] - q * sig_[..., None, :] ** 2) / (
         sig_[..., None, :] * np.sqrt(2.0)
     )
+    erf_z = (
+        special.erf_approx(z) if erf_fast
+        else special.erf_impl(z, n_iters=erf_iters)
+    )
     pm = special.exp(
         q * mu_[..., None, :] + 0.5 * q**2 * sig_[..., None, :] ** 2
-    ) * 0.5 * (1.0 + special.erf_impl(z, n_iters=erf_iters))
+    ) * 0.5 * (1.0 + erf_z)
     pm = jnp.where(rem[..., None, :] > 0.0, pm, 0.0)  # [..., M(q), G]
 
     ys = [x * fx * w * mask]
@@ -473,6 +479,9 @@ def get_finite_2d_integrals(
                 msh = _msh_matrix_lognormal(
                     n, p1, p2, thr_safe, M, data.n_points_max,
                     erf_iters=data.gammainc_iters,
+                    # gammainc_gl_nodes > 0 selects the proven-bound fast
+                    # special-function set (GL gammainc + rational erf)
+                    erf_fast=data.gammainc_gl_nodes > 0,
                 )
             elif fam == Family.MONODISPERSE:
                 pq = jnp.asarray(p_idx + q_idx, dtype)

@@ -242,6 +242,11 @@ def run_scenario(name: str, outdir: Optional[str] = None):
 if __name__ == "__main__":
     import sys
 
+    # persistent compile cache for CLI runs (axon compiles cost minutes;
+    # safe for short-lived tool processes — see CLAUDE.md gotcha 8)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     names = sys.argv[1:] or ["box_single_gamma_golovin"]
     for n in names:
         _, _, rep = run_scenario(n, outdir="scenario_output")

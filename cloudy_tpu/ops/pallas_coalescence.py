@@ -420,8 +420,16 @@ def _make_coal_body(
             pms = []
             for q in range(M):
                 z = (logrem - mu - q * sig**2) / (sig * float(np.sqrt(2.0)))
+                # gammainc_gl_nodes > 0 selects the proven-bound fast
+                # special-function set (rational erf, 1.5e-7; matches the
+                # XLA path's erf_fast switch in _msh_matrix_lognormal)
+                erf_z = (
+                    special.erf_approx(z)
+                    if gammainc_gl_nodes
+                    else special.erf_impl(z, n_iters=iters)
+                )
                 pm = special.exp(q * mu + 0.5 * q**2 * sig**2) * 0.5 * (
-                    1.0 + special.erf_impl(z, n_iters=iters)
+                    1.0 + erf_z
                 )
                 pms.append(jnp.where(rem > 0.0, pm, 0.0))
 
@@ -609,6 +617,49 @@ def make_pallas_coal_fn(
     return fn
 
 
+def _sedi_flux_rows(spec, params, vel_n, dtype):
+    """Physical-velocity sedimentation flux ladder on row tiles: returns the
+    n_tot NORMALIZED-unit flux rows ``-Σ_k c_k·M_{m+e_k}`` per (mode i,
+    moment m), from the closure params — the fused in-kernel form of
+    `sedimentation.get_sedimentation_flux` (reference Sedimentation.jl:22-37).
+    Fractional moments by the per-mode recurrence
+    ``M_{m+1+e} = M_{m+e}·θ·(k+m+e)`` off one lgamma-pair base (gamma), a
+    static Γ(1+e) base (exponential), or the direct closed form
+    (lognormal/monodisperse)."""
+    tiny = jnp.finfo(dtype).tiny
+    out = [None] * spec.n_tot
+    for i, fam in enumerate(spec.families):
+        n, p1, p2 = params[i]
+        logp1 = jnp.log(jnp.maximum(p1, tiny))
+        flux = [None] * spec.nprogmoms[i]
+        for (c, e) in vel_n:
+            # fractional-moment ladder M_{m+e}, m = 0..nprog-1
+            if fam == Family.GAMMA:
+                t = n * special.exp(
+                    e * logp1 + special.lgamma(p2 + e) - special.lgamma(p2)
+                )
+            elif fam == Family.EXPONENTIAL:
+                t = n * (math.gamma(1.0 + e)) * special.exp(e * logp1)
+            elif fam == Family.MONODISPERSE:
+                t = n * special.exp(e * logp1)
+            for m in range(spec.nprogmoms[i]):
+                q = m + e
+                if fam == Family.LOGNORMAL:
+                    t = n * special.exp(q * p1 + 0.5 * q * q * p2 * p2)
+                elif m > 0:
+                    if fam == Family.GAMMA:
+                        t = t * p1 * (p2 + (m - 1.0) + e)
+                    elif fam == Family.EXPONENTIAL:
+                        t = t * p1 * (m + e)
+                    elif fam == Family.MONODISPERSE:
+                        t = t * p1
+                term = c * t
+                flux[m] = term if flux[m] is None else flux[m] + term
+        for m in range(spec.nprogmoms[i]):
+            out[spec.offsets[i] + m] = -flux[m]
+    return out
+
+
 def make_pallas_rainshaft_rhs_fn(
     data: CoalescenceData,
     vel: Sequence[Tuple[float, float]],
@@ -691,36 +742,9 @@ def make_pallas_rainshaft_rhs_fn(
             out_ref[o, :] = row[0, :]
 
         # sedimentation flux rows (normalized units, denormalized per row)
-        for i, fam in enumerate(spec.families):
-            n, p1, p2 = params[i]
-            logp1 = jnp.log(jnp.maximum(p1, tiny))
-            flux = [None] * spec.nprogmoms[i]
-            for (c, e) in vel_n:
-                # fractional-moment ladder M_{m+e}, m = 0..nprog-1
-                if fam == Family.GAMMA:
-                    t = n * special.exp(
-                        e * logp1 + special.lgamma(p2 + e) - special.lgamma(p2)
-                    )
-                elif fam == Family.EXPONENTIAL:
-                    t = n * (math.gamma(1.0 + e)) * special.exp(e * logp1)
-                elif fam == Family.MONODISPERSE:
-                    t = n * special.exp(e * logp1)
-                for m in range(spec.nprogmoms[i]):
-                    q = m + e
-                    if fam == Family.LOGNORMAL:
-                        t = n * special.exp(q * p1 + 0.5 * q * q * p2 * p2)
-                    elif m > 0:
-                        if fam == Family.GAMMA:
-                            t = t * p1 * (p2 + (m - 1.0) + e)
-                        elif fam == Family.EXPONENTIAL:
-                            t = t * p1 * (m + e)
-                        elif fam == Family.MONODISPERSE:
-                            t = t * p1
-                    term = c * t
-                    flux[m] = term if flux[m] is None else flux[m] + term
-            for m in range(spec.nprogmoms[i]):
-                o = spec.offsets[i] + m
-                out_ref[n_tot + o, :] = (-flux[m] * mom_norms[o])[0, :]
+        flux_rows = _sedi_flux_rows(spec, params, vel_n, dtype)
+        for o in range(n_tot):
+            out_ref[n_tot + o, :] = (flux_rows[o] * mom_norms[o])[0, :]
 
     fn_soa = _pallas_soa_call(
         kernel, n_tot, 2 * n_tot, block_cols, grid_inputs, interpret
@@ -734,3 +758,120 @@ def make_pallas_rainshaft_rhs_fn(
     fn.soa = fn_soa
     fn.n_tot = n_tot
     return fn
+
+
+def make_pallas_rainshaft_step_fn(
+    data: CoalescenceData,
+    vel: Sequence[Tuple[float, float]],
+    norms: Tuple[float, float],
+    nz: int,
+    dz: float,
+    dt: float,
+    block_cols: int = 4096,
+    interpret: bool = False,
+    **coal_kwargs,
+):
+    """ONE Pallas kernel per block = a FULL SSPRK33 rainshaft step.
+
+    The maximal fusion: three RHS evaluations (closure → coalescence → empty
+    mask → sedimentation flux), the upwind flux divergence AND the RK
+    combinations all execute in VMEM; HBM traffic is exactly one read and
+    one write of the state per step — vs the per-stage kernel-launch +
+    coal/flux write + stencil/AXPY reads of the `make_pallas_rainshaft_rhs_fn`
+    route (measured: the unfused stencil + RK AXPYs are ~23% of the step,
+    PROFILE.json).
+
+    The z-stencil stays INSIDE the block: `block_cols` must be a multiple of
+    `nz` so every block holds whole columns (flat SoA layout, z contiguous);
+    level i's upstream flux F[i+1] is then a one-lane roll within the block
+    (`pltpu.roll`; plain `jnp.roll` in interpret mode), zeroed at each
+    column's top level by a periodic iota mask — the same semantics as
+    `models.rainshaft.make_rainshaft_rhs_fused` applies in XLA (reference
+    rainshaft_helpers.jl:80-86).
+
+    ``fn(mom_phys [n_tot, B]) -> [n_tot, B]``: the state advanced by one
+    SSPRK33 step of length `dt`. Parity with the XLA-orchestrated step is
+    pinned in tests/test_pallas.py.
+    """
+    spec = data.spec
+    n_tot = spec.n_tot
+    if block_cols % nz != 0:
+        raise ValueError(f"block_cols={block_cols} must be a multiple of nz={nz}")
+    mom_norms = [
+        float(v) for v in get_moments_normalizing_factors(spec.nprogmoms, norms)
+    ]
+    vel_n = tuple((float(c) * norms[1] ** float(e), float(e)) for (c, e) in vel)
+    inv_dz = 1.0 / float(dz)
+    dt = float(dt)
+
+    body, grid_inputs = _make_coal_body(
+        data,
+        interpret,
+        coal_kwargs.pop("gammainc_iters", None),
+        coal_kwargs.pop("quad_rule", "reference"),
+        coal_kwargs.pop("gauss_nodes", 24),
+        coal_kwargs.pop("thr_newton_iters", 32),
+        coal_kwargs.pop("thr_gammainc_iters", 128),
+        coal_kwargs.pop("f2_exact", None),
+        gammainc_gl_nodes=coal_kwargs.pop("gammainc_gl_nodes", None),
+    )
+    if coal_kwargs:
+        raise TypeError(f"unknown kwargs: {sorted(coal_kwargs)}")
+
+    def kernel(mom_ref, *refs):
+        grid_refs = refs[:-1]
+        out_ref = refs[-1]
+        dtype = mom_ref.dtype
+        eps = jnp.finfo(dtype).eps
+        TB = mom_ref.shape[1]
+
+        # top-of-column lane mask (z contiguous within the block)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+        top = (j % nz) == (nz - 1)
+
+        def shift_up(row):
+            # roll left by 1 ≡ roll right by TB − 1 (pltpu.roll requires a
+            # non-negative shift)
+            rolled = (
+                jnp.roll(row, -1, axis=1)
+                if interpret
+                else pltpu.roll(row, TB - 1, axis=1)
+            )
+            return jnp.where(top, 0.0, rolled)
+
+        def rhs(y_rows):
+            mom_rows = []
+            empty = None
+            for o in range(n_tot):
+                r = jnp.maximum(y_rows[o], 0.0) * (1.0 / mom_norms[o])
+                mom_rows.append(r)
+                lo = r < eps
+                empty = lo if empty is None else (empty & lo)
+            acc, params, _ = body(mom_rows, grid_refs)
+            flux_rows = _sedi_flux_rows(spec, params, vel_n, dtype)
+            rows = []
+            for o in range(n_tot):
+                coal = (
+                    acc[o] if acc[o] is not None else jnp.zeros((1, TB), dtype)
+                )
+                coal = jnp.where(empty, 0.0, coal) * mom_norms[o]
+                f = flux_rows[o] * mom_norms[o]
+                rows.append(coal - (shift_up(f) - f) * inv_dz)
+            return rows
+
+        y = [mom_ref[o, :].reshape(1, TB) for o in range(n_tot)]
+        f0 = rhs(y)
+        u1 = [y[o] + dt * f0[o] for o in range(n_tot)]
+        f1 = rhs(u1)
+        u2 = [
+            0.75 * y[o] + 0.25 * (u1[o] + dt * f1[o]) for o in range(n_tot)
+        ]
+        f2 = rhs(u2)
+        for o in range(n_tot):
+            out_ref[o, :] = (
+                y[o] / 3.0 + (2.0 / 3.0) * (u2[o] + dt * f2[o])
+            )[0, :]
+
+    return _pallas_soa_call(
+        kernel, n_tot, n_tot, block_cols, grid_inputs, interpret
+    )

@@ -42,38 +42,38 @@ _SQRT2PI = float(np.sqrt(2.0 * np.pi))
 
 @contextlib.contextmanager
 def _cache_bypass(interpret: bool):
-    """Disable the persistent compilation cache around interpret-mode
-    pallas_call executions.
+    """Keep interpret-mode pallas_call executions OUT of the persistent
+    compilation cache.
 
     Interpret-mode pallas lowers to an XLA program that embeds the Python
     emulation; this sandbox's jax (0.9.0) will happily persist such an
-    executable when its compile exceeds the 1 s write threshold, and
-    loading it back CRASHES the process (observed: SIGSEGV in the
-    zstandard write path and SIGABRT in `get_executable_and_time` on read,
-    always at the one interpret kernel big enough to cross the threshold).
-    Compiled (Mosaic) kernels keep full cache participation.
+    executable when its compile exceeds the write threshold, and loading it
+    back CRASHES the process (observed: SIGSEGV in the zstandard write path
+    and SIGABRT in `get_executable_and_time` on read). Compiled (Mosaic)
+    kernels keep full cache participation.
 
-    Toggling `enable_compilation_cache` alone is NOT enough:
-    `compilation_cache.is_cache_used` latches its verdict process-globally
-    on first use, so the flag must be combined with `reset_cache()` on both
-    edges (reset drops only the in-process cache handle, not the on-disk
-    store).
+    Mechanism: raise `persistent_cache_min_compile_time_secs` beyond any
+    real compile for the duration — the threshold is read dynamically at
+    write time (jax/_src/compiler.py: `config.persistent_cache_min_compile_
+    time_secs.value`), so nothing persists and cache reads (which can only
+    miss for never-written interpret keys) are untouched. The earlier
+    implementation paired `enable_compilation_cache(False)` with
+    `compilation_cache.reset_cache()` on both edges — tearing down the live
+    cache handle dozens of times per test session, after which a later
+    cache READ in the same process segfaulted (three full-suite runs died
+    in `get_executable_and_time` right after the pallas-heavy files; the
+    crash-site tests pass in isolation). No reset, no crash.
     """
     if not interpret:
         yield
         return
     try:
-        from jax._src import compilation_cache as _cc
         from jax._src import config as _jconf
     except Exception:  # pragma: no cover - future-jax fallback
         yield
         return
-    _cc.reset_cache()
-    with _jconf.enable_compilation_cache(False):
-        try:
-            yield
-        finally:
-            _cc.reset_cache()
+    with _jconf.persistent_cache_min_compile_time_secs(1e18):
+        yield
 
 
 def _invert_rows(fam: Family, rows, eps, gamma_k_range=GAMMA_K_RANGE):

@@ -392,6 +392,31 @@ def erf(x):
     return jax.lax.erf(x)
 
 
+# Abramowitz & Stegun 7.1.26 rational approximation (Hastings): max absolute
+# error 1.5e-7 over all x — the same order as gammainc_gl's 2.6e-7 bound.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def erf_approx(x):
+    """Rational-approximation error function (A&S 7.1.26), Pallas-safe.
+
+    The fast path for the lognormal Φ partial moments: `erf_impl` evaluates
+    erf through the full series/CF incomplete gamma (~150 slot-weighted ops
+    per point); this is 1 exp + 1 div + 9 FMAs at a PROVEN 1.5e-7 absolute
+    bound (pinned vs scipy in tests/test_special.py). Measured on-chip: the
+    lognormal-thresholded F2 grid runs the erf per (grid point × moment
+    order), so this swap is the dominant term of the lognormal family's
+    throughput."""
+    x = jnp.asarray(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + _ERF_P * ax)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def erf_impl(x, n_iters: int = 128):
     """Pallas-safe error function: erf(z) = sign(z) · P(1/2, z²).
 

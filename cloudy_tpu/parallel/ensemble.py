@@ -75,6 +75,27 @@ def ensemble_rainshaft_step_soa(
     return sharded
 
 
+def ensemble_whole_step(step_fn: Callable, mesh: Mesh, axis_name: str = "columns"):
+    """Shard the single-kernel whole-step function (the maximally fused
+    `ops.pallas_coalescence.make_pallas_rainshaft_step_fn`, flat SoA
+    ``[n_tot, n_columns·nz]``) over the column axis. Each shard must be a
+    whole number of columns AND a multiple of the kernel's block_cols; the
+    step contains zero collectives."""
+    pspec = P(None, axis_name)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec,),
+        out_specs=pspec,
+        check_rep=False,
+    )
+    def sharded(y):
+        return step_fn(y)
+
+    return sharded
+
+
 def ensemble_rainshaft_step(
     rhs: Callable,
     dt: float,

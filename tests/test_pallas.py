@@ -434,3 +434,74 @@ def test_fused_rhs_soa_step_matches_aos_step():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)
+
+
+def test_pallas_lognormal_fast_special_functions():
+    """The proven-bound fast special-function set (gammainc_gl_nodes > 0 ⇒
+    GL gammainc + rational erf) stays consistent between the XLA and Pallas
+    paths AND within the erf/gammainc bounds of the parity evaluation."""
+    spec = SpectrumSpec((Family.LOGNORMAL, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data_fast = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9), gammainc_gl_nodes=12
+    )
+    data_ref = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9)
+    )
+    B = 128
+    rng = np.random.default_rng(31)
+    params = np.stack(
+        [
+            np.stack([rng.uniform(10, 200, B), rng.uniform(-2.0, 1.0, B),
+                      rng.uniform(0.3, 1.2, B)], -1),
+            np.stack([rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                      rng.uniform(0.5, 5.0, B)], -1),
+        ],
+        axis=1,
+    )
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    p = pd.params_from_moments(spec, mom)
+
+    xla_fast = np.asarray(get_coal_ints(data_fast, p))
+    got = np.asarray(
+        pc.make_pallas_coal_fn(data_fast, block_cols=128, interpret=True)(mom)
+    )
+    # same algorithm on both sides → tight
+    np.testing.assert_allclose(got, xla_fast, rtol=1e-9, atol=1e-12)
+
+    # vs the reference-parity special functions: within the 1.5e-7 erf /
+    # 2.6e-7 gammainc bounds propagated through the quadrature (scaled)
+    xla_ref = np.asarray(get_coal_ints(data_ref, p))
+    scale = np.abs(xla_ref).max(axis=0, keepdims=True)
+    rel = np.abs(xla_fast - xla_ref) / (np.abs(xla_ref) + 1e-6 * scale)
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+
+
+def test_pallas_whole_step_matches_xla_orchestrated_step():
+    """The maximally fused whole-SSPRK33-step kernel (3 RHS evals + in-block
+    lane-roll stencil + RK AXPYs in one Pallas kernel) equals the
+    XLA-orchestrated fused-RHS step — and hence the AoS reference-semantics
+    step, by test_fused_rhs_soa_step_matches_aos_step."""
+    from cloudy_tpu import stepper
+    from cloudy_tpu.models import rainshaft as rs
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9))
+    config = rs.RainshaftConfig(spec=spec, nz=16, zmax=3000.0, norms=(1e6, 1e-9))
+    state = rs.to_soa(jnp.asarray(_rainshaft_state(spec, config, 8)))
+
+    fused = pc.make_pallas_rainshaft_rhs_fn(
+        data, config.vel, config.norms, block_cols=128, interpret=True
+    )
+    rhs = rs.make_rainshaft_rhs_fused(config, fused)
+    want = np.asarray(
+        stepper.ssprk33_step(rhs, state, jnp.asarray(0.0, state.dtype), 1.0)
+    )
+
+    step = pc.make_pallas_rainshaft_step_fn(
+        data, config.vel, config.norms, nz=config.nz, dz=config.dz, dt=1.0,
+        block_cols=128, interpret=True,
+    )
+    got = np.asarray(step(state))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)

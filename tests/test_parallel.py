@@ -128,3 +128,25 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     ge.dryrun_multichip(8)
+
+
+def test_whole_step_kernel_sharded_matches_unsharded():
+    """The single-kernel whole-SSPRK33-step (interpret mode) sharded over
+    the 8-device mesh equals its unsharded evaluation — the maximally fused
+    production step's sharding path."""
+    from cloudy_tpu.ops import pallas_coalescence as pc
+    from cloudy_tpu.parallel.ensemble import ensemble_whole_step
+
+    spec, norms, data, config = _flagship(nz=8)
+    step = pc.make_pallas_rainshaft_step_fn(
+        data, config.vel, config.norms, nz=config.nz, dz=config.dz, dt=1.0,
+        block_cols=8, interpret=True,
+    )
+    state = rs.to_soa(jnp.asarray(_ic(config, 8)))  # [n_tot, 64]
+
+    mesh = make_mesh(("columns",))
+    sharded = jax.jit(ensemble_whole_step(step, mesh))
+    y = jax.device_put(state, NamedSharding(mesh, P(None, "columns")))
+    out_sharded = np.asarray(sharded(y))
+    out_local = np.asarray(step(state))
+    np.testing.assert_allclose(out_sharded, out_local, rtol=1e-12, atol=0.0)

@@ -126,3 +126,19 @@ def test_gammainc_gl_edge_cases():
     assert out[0] == 0.0  # x = 0
     assert abs(out[1] - 1.0) < 1e-12  # far right tail (clamped)
     assert out[2] >= 0.0 and out[2] < 1e-20  # deep left tail
+
+
+def test_erf_approx_proven_bound():
+    """Rational erf (A&S 7.1.26): max absolute error ≤ 1.6e-7 vs scipy over
+    the full real line (the lognormal fast path's special function — same
+    error class as gammainc_gl's 2.6e-7)."""
+    from scipy.special import erf as serf
+
+    x = np.concatenate(
+        [np.linspace(-8, 8, 4001), np.array([-1e9, -30.0, 30.0, 1e9, 0.0])]
+    )
+    got = np.asarray(special.erf_approx(jnp.asarray(x)))
+    assert np.abs(got - serf(x)).max() < 1.6e-7
+    # f32 as well (the TPU production dtype)
+    got32 = np.asarray(special.erf_approx(jnp.asarray(x, jnp.float32)), np.float64)
+    assert np.abs(got32 - serf(x)).max() < 1e-6

@@ -46,6 +46,10 @@ def timed_steps(step, state, reps=5, n1=2, target_s=0.5):
     RPC constant cancelled)."""
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the axon-tunnel compiles cost minutes; cache
+    # them across invocations (single-writer discipline — see CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     @partial(jax.jit, static_argnames=("n",))
     def chain(y, n):
@@ -128,6 +132,11 @@ def main():
         print(json.dumps({"stage": name, **stages[name]}), flush=True)
 
     # --- full steps: column-updates/s (E per application) -----------------
+    whole = pc.make_pallas_rainshaft_step_fn(
+        data, config.vel, config.norms, nz=nz, dz=config.dz, dt=1.0,
+        block_cols=args.block_cols,
+    )
+    stage("full_step_one_kernel", whole, state_soa, E)
     stage(
         "full_step_fused",
         lambda y: st.ssprk33_step(rhs_fused, y, 0.0, dt),
