@@ -164,12 +164,15 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
     fused_soa = jax.default_backend() not in ("cpu",)
     if fused_soa:
         from cloudy_tpu.ops import pallas_coalescence as pc
+        from cloudy_tpu.parallel.ensemble import ensemble_whole_step
 
-        fused = pc.make_pallas_rainshaft_rhs_fn(
-            data, config.vel, config.norms, block_cols=4096
+        # single-kernel whole SSPRK33 step — 2.48e7 column-updates/s per
+        # chip at this exact configuration (SCALING.json)
+        whole = pc.make_pallas_rainshaft_step_fn(
+            data, config.vel, config.norms, nz=nz, dz=config.dz,
+            dt=config.dt, block_cols=4096,
         )
-        rhs = rs.make_rainshaft_rhs_fused(config, fused)
-        step = jax.jit(ensemble_rainshaft_step_soa(rhs, config.dt, mesh))
+        step = jax.jit(ensemble_whole_step(whole, mesh))
         state = jax.device_put(
             rs.to_soa(state_aos), NamedSharding(mesh, P(None, "columns"))
         )
