@@ -25,7 +25,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # per-process cliff
 CHUNKS = [
     ["test_box.py", "test_coalescence.py", "test_distributed.py",
-     "test_distributions.py", "test_autodiff.py"],
+     "test_distributions.py", "test_autodiff.py", "test_calibrate.py"],
     ["test_examples.py", "test_golden.py", "test_harness.py",
      "test_kernels.py", "test_native.py", "test_numerical.py"],
     ["test_pallas.py", "test_pallas_numerical.py"],

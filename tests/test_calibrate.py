@@ -1,0 +1,113 @@
+"""Calibration subsystem (cloudy_tpu/calibrate.py).
+
+The reference has no calibration code; in the CliMA stack Cloudy.jl is
+calibrated externally through EnsembleKalmanProcesses.jl as a black box.
+Here both drivers run against the real coalescence forward model:
+
+- `run_eki` recovers the kernel scale from noisy trajectory observations via
+  a vmapped-ensemble, scanned EKI loop (the EKP workflow, on-device).
+- `fit_gradient` recovers it via optax/`jax.grad` — the pathway the Julia
+  ecosystem lacks entirely.
+- `eki_step` is pinned against the exact Kalman posterior in the
+  linear-Gaussian large-ensemble limit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cloudy_tpu.spec import Family, SpectrumSpec
+from cloudy_tpu import kernels as K
+from cloudy_tpu import distributions as pd
+from cloudy_tpu import stepper
+from cloudy_tpu.calibrate import (
+    ensemble_init,
+    eki_step,
+    fit_gradient,
+    run_eki,
+)
+from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints
+
+
+def _box_forward():
+    """G(log_s) -> moments at 3 observation times for a single-gamma box
+    collision run with the linear kernel scaled by s = exp(log_s)."""
+    spec = SpectrumSpec((Family.GAMMA,))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(
+        spec, ker, (np.inf,), norms=(1e6, 1e-9), gammainc_iters=32
+    )
+    mom0 = jnp.asarray([1e2, 1e1, 2.0])
+
+    def forward(log_s):
+        # observe LOG-moments: they span ~9 decades over the prior's s-range,
+        # and log space keeps the EKI covariance solve well-conditioned
+        # (f32-safe on TPU — examples/calibration_example.py runs this in f32)
+        s = jnp.exp(log_s[0] if log_s.ndim else log_s)
+
+        def rhs(m, t):
+            del t
+            return s * get_coal_ints(data, pd.params_from_moments(spec, m))
+
+        _, ys = stepper.integrate(rhs, mom0, 0.0, 2.0, 15, method="ssprk33")
+        return jnp.log(ys[jnp.asarray([5, 10, 15])]).reshape(-1)
+
+    return forward
+
+
+def test_eki_recovers_kernel_scale():
+    forward = _box_forward()
+    log_s_true = jnp.log(jnp.asarray(1.7))
+    y_clean = forward(jnp.asarray([log_s_true]))
+    noise = 1e-3
+    key = jax.random.PRNGKey(0)
+    k_obs, k_ens, k_run = jax.random.split(key, 3)
+    y = y_clean + noise * jax.random.normal(k_obs, y_clean.shape, y_clean.dtype)
+
+    theta0 = ensemble_init(k_ens, [0.0], [0.7], n_ens=24)  # prior: s ~ lognormal(1)
+    res = run_eki(forward, theta0, y, noise**2, n_iters=6, key=k_run)
+
+    s_est = float(jnp.exp(jnp.mean(res.theta[:, 0])))
+    assert abs(s_est - 1.7) / 1.7 < 0.02, s_est
+    # misfit collapses from the prior spread to ~the noise floor
+    assert float(res.misfit_history[-1]) < 5.0
+    assert float(res.misfit_history[-1]) < 1e-3 * float(res.misfit_history[0])
+    assert res.theta_history.shape == (7, 24, 1)
+
+
+def test_eki_step_matches_kalman_posterior_linear_gaussian():
+    """For G(θ) = Aθ and a large ensemble, one EKI step reproduces the
+    Kalman update of the ensemble mean: m⁺ = m + CAᵀ(ACAᵀ + Γ)⁻¹(y − Am)."""
+    key = jax.random.PRNGKey(1)
+    P, D, J = 3, 4, 60000
+    kA, kth, keta = jax.random.split(key, 3)
+    A = jax.random.normal(kA, (D, P))
+    prior_mean = jnp.asarray([1.0, -2.0, 0.5])
+    prior_cov = jnp.diag(jnp.asarray([0.5, 1.0, 2.0]))
+    theta = prior_mean + jax.random.normal(kth, (J, P)) @ jnp.sqrt(prior_cov)
+    gamma = 0.3 * jnp.eye(D)
+    y = jnp.asarray([0.3, -1.0, 2.0, 0.7])
+
+    g = theta @ A.T
+    theta1 = eki_step(theta, g, y, gamma, keta)
+
+    m = jnp.mean(theta, axis=0)
+    C = jnp.cov(theta.T)
+    S = A @ C @ A.T + gamma
+    m_post = m + C @ A.T @ jnp.linalg.solve(S, y - A @ m)
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(theta1, axis=0)), np.asarray(m_post), atol=0.03
+    )
+
+
+def test_fit_gradient_recovers_kernel_scale():
+    forward = _box_forward()
+    log_s_true = jnp.asarray(np.log(1.7))
+    y = forward(log_s_true)
+
+    def loss(log_s):
+        return jnp.sum((forward(log_s) - y) ** 2)
+
+    res = fit_gradient(loss, jnp.asarray(0.0), n_iters=120, learning_rate=0.1)
+    assert abs(float(jnp.exp(res.params)) - 1.7) / 1.7 < 1e-3
+    assert float(res.loss_history[-1]) < 1e-4 * float(res.loss_history[0])

@@ -19,8 +19,13 @@ ALL_EXAMPLES = sorted(
 )
 
 # box/rainshaft/condensation scripts produce a NetCDF named after themselves;
-# these two produce plots/printouts only (like their reference counterparts)
-NO_NETCDF = {"parcel_example", "test_kernel_tensor_approximation"}
+# these produce plots/printouts only (the first two like their reference
+# counterparts; calibration_example is BUILD-NEW with no reference analogue)
+NO_NETCDF = {
+    "parcel_example",
+    "test_kernel_tensor_approximation",
+    "calibration_example",
+}
 
 
 def _run_example(name, fast=True, timeout=420):
@@ -42,8 +47,10 @@ def _run_example(name, fast=True, timeout=420):
 
 
 def test_all_reference_examples_present():
-    """Every reference example script has a counterpart (SURVEY §2 row 34)."""
-    assert len(ALL_EXAMPLES) == 22, ALL_EXAMPLES
+    """Every reference example script has a counterpart (SURVEY §2 row 34),
+    plus the BUILD-NEW calibration example (no reference analogue)."""
+    assert len(ALL_EXAMPLES) == 23, ALL_EXAMPLES
+    assert "calibration_example" in ALL_EXAMPLES
 
 
 @pytest.mark.parametrize("name", ALL_EXAMPLES)
