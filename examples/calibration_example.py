@@ -57,6 +57,16 @@ print(f"EKI:      s = {s_eki:.4f} (truth {s_true}); "
       f"{float(res.misfit_history[-1]):.3g}")
 
 # --- gradient descent through the full differentiable model
+# --- UKI: deterministic sigma-point quadrature, 2 forward evals/iter,
+# converged covariance = posterior uncertainty of log s
+res_u = calibrate.run_uki(
+    forward, [0.0], [0.7**2], y, noise**2, n_iters=4 if fast else 8
+)
+print(f"UKI:      s = {float(jnp.exp(res_u.mean[0])):.4f} (truth {s_true}); "
+      f"posterior std(log s) = {float(jnp.sqrt(res_u.cov[0, 0])):.2e}; "
+      f"misfit {float(res_u.misfit_history[0]):.3g} -> "
+      f"{float(res_u.misfit_history[-1]):.3g}")
+
 res_g = calibrate.fit_gradient(
     lambda t: jnp.sum((forward(t) - y) ** 2),
     jnp.asarray(0.0), n_iters=40 if fast else 120, learning_rate=0.1,

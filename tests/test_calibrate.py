@@ -25,6 +25,7 @@ from cloudy_tpu.calibrate import (
     eki_step,
     fit_gradient,
     run_eki,
+    run_uki,
 )
 from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints
 
@@ -98,6 +99,71 @@ def test_eki_step_matches_kalman_posterior_linear_gaussian():
     np.testing.assert_allclose(
         np.asarray(jnp.mean(theta1, axis=0)), np.asarray(m_post), atol=0.03
     )
+
+
+def test_uki_recovers_kernel_scale():
+    """UKI on the real coalescence forward model: deterministic (no ensemble
+    key), 2P = 2 forward evaluations per iteration, and the converged
+    covariance is a real uncertainty estimate."""
+    forward = _box_forward()
+    log_s_true = jnp.log(jnp.asarray(1.7))
+    y_clean = forward(jnp.asarray([log_s_true]))
+    noise = 1e-3
+    y = y_clean + noise * jax.random.normal(
+        jax.random.PRNGKey(3), y_clean.shape, y_clean.dtype
+    )
+
+    res = run_uki(forward, [0.0], [0.7**2], y, noise**2, n_iters=8)
+    s_est = float(jnp.exp(res.mean[0]))
+    assert abs(s_est - 1.7) / 1.7 < 0.02, s_est
+    assert float(res.misfit_history[-1]) < 1e-3 * float(res.misfit_history[0])
+    # the posterior std of log s must bracket the (tiny) actual error
+    std = float(jnp.sqrt(res.cov[0, 0]))
+    assert 1e-6 < std < 0.1
+    assert res.mean_history.shape == (9, 1)
+    assert res.cov_history.shape == (9, 1, 1)
+
+
+def test_uki_linear_gaussian_fixed_point():
+    """For linear G(θ) = Aθ, α=1, the UKI fixed point is the weighted
+    least-squares solution m_∞ = (AᵀΓ⁻¹A)⁻¹AᵀΓ⁻¹y with covariance
+    C_∞ = (AᵀΓ⁻¹A)⁻¹ (Huang/Schneider/Stuart 2022, Thm 4.1 analogue for
+    the Σ_ω = C, Σ_ν = 2Γ parametrization)."""
+    key = jax.random.PRNGKey(7)
+    P, D = 3, 5
+    A = jax.random.normal(key, (D, P), jnp.float64 if jax.config.x64_enabled else jnp.float32)
+    gamma = jnp.diag(jnp.asarray([0.2, 0.5, 0.1, 0.3, 0.4]))
+    y = jnp.asarray([0.3, -1.0, 2.0, 0.7, -0.2])
+
+    res = run_uki(
+        lambda t: A @ t, [0.0, 0.0, 0.0], jnp.eye(P), y, gamma, n_iters=40
+    )
+    fisher = A.T @ jnp.linalg.solve(gamma, A)
+    m_star = jnp.linalg.solve(fisher, A.T @ jnp.linalg.solve(gamma, y))
+    c_star = jnp.linalg.inv(fisher)
+    np.testing.assert_allclose(np.asarray(res.mean), np.asarray(m_star), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.cov), np.asarray(c_star), rtol=1e-3, atol=1e-5)
+
+
+def test_uki_transform_and_alpha_reg():
+    """transform=exp calibrates a positive parameter; alpha_reg < 1 pulls
+    the fixed point toward the prior mean (regularization is active)."""
+    y = jnp.asarray([2.0, 4.0])
+
+    def forward(s):  # s > 0 via transform
+        return jnp.asarray([s[0], 2.0 * s[0]])
+
+    res = run_uki(
+        forward, [0.0], [1.0], y, 1e-4, n_iters=25, transform=jnp.exp
+    )
+    np.testing.assert_allclose(float(jnp.exp(res.mean[0])), 2.0, rtol=1e-3)
+
+    res_reg = run_uki(
+        forward, [0.0], [1.0], y, 1e-4, n_iters=25, transform=jnp.exp,
+        alpha_reg=0.7,
+    )
+    # regularized mean sits strictly between prior (0) and unregularized
+    assert 0.0 < float(res_reg.mean[0]) < float(res.mean[0])
 
 
 def test_fit_gradient_recovers_kernel_scale():
