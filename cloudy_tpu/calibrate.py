@@ -143,6 +143,98 @@ def ensemble_init(key, prior_mean, prior_std, n_ens: int):
     )
 
 
+def run_eks(
+    forward: Callable,
+    theta0,
+    y,
+    noise_cov,
+    prior_mean,
+    prior_cov,
+    n_iters: int,
+    key,
+    dt0: float = 1.0,
+    transform: Optional[Callable] = None,
+) -> EKIResult:
+    """Ensemble Kalman Sampler (Garbuno-Inigo/Hoffmann/Li/Stuart 2020; the
+    EKP.jl `Sampler` process), as ONE jitted `lax.scan`.
+
+    Where EKI collapses its ensemble onto a point estimate, EKS runs the
+    affine-invariant interacting Langevin diffusion whose invariant measure
+    is the Bayesian posterior — at equilibrium the ensemble IS a posterior
+    sample set (mean/cov pinned against the exact linear-Gaussian posterior
+    in tests/test_calibrate.py). Discretization per iteration, with
+    C = Cov(θ), E = g − ḡ, R = g − y:
+
+        D_jk = ⟨Γ⁻¹(g_j − y), g_k − ḡ⟩ / J          (data-drift matrix)
+        Δt   = dt0 / (‖D‖_F + 1e-8)                   (adaptive step)
+        θ*   = θ − Δt·D θ                             (explicit data drift)
+        θ⁺   = (I + Δt·C Γ₀⁻¹)⁻¹ (θ* + Δt·C Γ₀⁻¹ r₀)  (implicit prior drift)
+        θ⁺  += √(2Δt)·chol(C) ξ,  ξ ~ N(0, I)         (Langevin noise)
+
+    plus the Nüsken/Reich finite-ensemble correction +Δt·(P+1)/J·(θ − θ̄)
+    to the drift. The implicit prior step keeps the iteration stable for any
+    prior covariance Γ₀ = ``prior_cov`` (mean r₀ = ``prior_mean``). Returns
+    an `EKIResult` (same fields; `theta` is the posterior sample ensemble).
+
+    The Euler-Maruyama discretization carries an O(Δt) equilibrium-variance
+    inflation of ≈ 1/(1 − λΔt/2) (λ the local drift rate) — the large
+    default `dt0` is right for optimization-style runs (fast collapse onto
+    the posterior mode region), but for quantitatively calibrated posterior
+    SPREAD use `dt0 ≲ 0.1` and more iterations (the regime pinned against
+    the exact linear-Gaussian posterior covariance in
+    tests/test_calibrate.py::test_eks_samples_linear_gaussian_posterior)."""
+    theta0 = jnp.atleast_2d(jnp.asarray(theta0))
+    nj, p = theta0.shape
+    y = jnp.asarray(y, theta0.dtype)
+    d = y.shape[0]
+    gamma = _as_cov(noise_cov, d, theta0.dtype)
+    gamma_chol = jnp.linalg.cholesky(gamma)
+    r0 = jnp.broadcast_to(jnp.asarray(prior_mean, theta0.dtype), (p,))
+    gamma0 = _as_cov(prior_cov, p, theta0.dtype)
+    eye_p = jnp.eye(p, dtype=theta0.dtype)
+
+    fwd1 = forward if transform is None else (lambda t: forward(transform(t)))
+    fwd = jax.vmap(fwd1)
+
+    def misfit(g):
+        r = jax.scipy.linalg.solve_triangular(
+            gamma_chol, (y[None, :] - g).T, lower=True
+        )
+        return jnp.mean(r**2)
+
+    def body(theta, k):
+        g = fwd(theta)  # [J, D]
+        g_mean = jnp.mean(g, axis=0)
+        e = g - g_mean[None, :]  # [J, D]
+        r = g - y[None, :]  # [J, D]
+        # D_jk = ⟨Γ⁻¹ r_j, e_k⟩ / J
+        d_mat = (jnp.linalg.solve(gamma, r.T).T @ e.T) / nj  # [J, J]
+        dt = dt0 / (jnp.linalg.norm(d_mat) + 1e-8)
+        th_a = theta - jnp.mean(theta, axis=0, keepdims=True)
+        # explicit data drift + Nüsken/Reich finite-J correction
+        theta_star = theta - dt * d_mat @ theta + dt * ((p + 1) / nj) * th_a
+        cov = th_a.T @ th_a / nj  # [P, P]
+        # implicit prior drift: (I + Δt C Γ₀⁻¹) θ⁺ = θ* + Δt C Γ₀⁻¹ r₀
+        cg0 = cov @ jnp.linalg.solve(gamma0, eye_p)  # C Γ₀⁻¹
+        lhs = eye_p + dt * cg0
+        rhs = theta_star + dt * (cg0 @ r0)[None, :]
+        theta_next = jnp.linalg.solve(lhs, rhs.T).T
+        # Langevin noise ~ N(0, 2Δt C)
+        chol = jnp.linalg.cholesky(cov + 1e-12 * eye_p)
+        xi = jax.random.normal(k, (nj, p), theta0.dtype)
+        theta_next = theta_next + jnp.sqrt(2.0 * dt) * xi @ chol.T
+        return theta_next, (theta, misfit(g))
+
+    keys = jax.random.split(key, n_iters)
+    theta_f, (th_hist, mf_hist) = jax.lax.scan(body, theta0, keys)
+    g_f = fwd(theta_f)
+    return EKIResult(
+        theta_f,
+        jnp.concatenate([th_hist, theta_f[None]], axis=0),
+        jnp.concatenate([mf_hist, misfit(g_f)[None]], axis=0),
+    )
+
+
 class UKIResult(NamedTuple):
     """`mean`: final parameter mean [P]. `cov`: final parameter covariance
     [P, P] — for linear G this converges to the Fisher covariance

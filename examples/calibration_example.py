@@ -57,6 +57,17 @@ print(f"EKI:      s = {s_eki:.4f} (truth {s_true}); "
       f"{float(res.misfit_history[-1]):.3g}")
 
 # --- gradient descent through the full differentiable model
+# --- EKS: posterior SAMPLES (the ensemble keeps its spread at equilibrium)
+res_s = calibrate.run_eks(
+    forward, theta0, y, noise**2, [0.0], [0.7**2],
+    n_iters=10 if fast else 30, key=jax.random.fold_in(k_run, 1),
+)
+print(f"EKS:      s = {float(jnp.exp(res_s.theta[:, 0].mean())):.4f} "
+      f"(truth {s_true}); ensemble std(log s) = "
+      f"{float(jnp.std(res_s.theta[:, 0])):.2e}; "
+      f"misfit {float(res_s.misfit_history[0]):.3g} -> "
+      f"{float(res_s.misfit_history[-1]):.3g}")
+
 # --- UKI: deterministic sigma-point quadrature, 2 forward evals/iter,
 # converged covariance = posterior uncertainty of log s
 res_u = calibrate.run_uki(

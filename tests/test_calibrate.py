@@ -25,6 +25,7 @@ from cloudy_tpu.calibrate import (
     eki_step,
     fit_gradient,
     run_eki,
+    run_eks,
     run_uki,
 )
 from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints
@@ -99,6 +100,64 @@ def test_eki_step_matches_kalman_posterior_linear_gaussian():
     np.testing.assert_allclose(
         np.asarray(jnp.mean(theta1, axis=0)), np.asarray(m_post), atol=0.03
     )
+
+
+def test_eks_samples_linear_gaussian_posterior():
+    """At equilibrium the EKS ensemble samples the Bayesian posterior: for
+    linear G the ensemble mean AND covariance must match the exact Gaussian
+    posterior (the property EKI does not have — its ensemble collapses).
+    Small dt0 keeps the O(Δt) Euler-Maruyama variance inflation below the
+    statistical tolerance (see run_eks docstring)."""
+    key = jax.random.PRNGKey(5)
+    P, D, J = 2, 3, 800
+    kA, kens, krun = jax.random.split(key, 3)
+    A = jax.random.normal(kA, (D, P))
+    gamma = jnp.diag(jnp.asarray([0.1, 0.3, 0.2]))
+    gamma0 = jnp.diag(jnp.asarray([1.0, 2.0]))
+    r0 = jnp.asarray([0.5, -0.5])
+    y = jnp.asarray([1.0, -0.3, 0.8])
+
+    fisher = A.T @ jnp.linalg.solve(gamma, A)
+    C_post = jnp.linalg.inv(fisher + jnp.linalg.inv(gamma0))
+    m_post = C_post @ (
+        A.T @ jnp.linalg.solve(gamma, y) + jnp.linalg.solve(gamma0, r0)
+    )
+
+    theta0 = ensemble_init(kens, r0, jnp.sqrt(jnp.diag(gamma0)), n_ens=J)
+    res = run_eks(
+        lambda t: A @ t, theta0, y, gamma, r0, gamma0,
+        n_iters=3000, key=krun, dt0=0.05,
+    )
+    m = jnp.mean(res.theta, axis=0)
+    C = jnp.cov(res.theta.T)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_post), atol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(C), np.asarray(C_post), rtol=0.25, atol=0.02
+    )
+    assert res.theta_history.shape == (3001, J, P)
+
+
+def test_eks_recovers_kernel_scale():
+    """EKS on the real coalescence forward model: posterior mode near the
+    truth AND a posterior spread (the ensemble does not collapse)."""
+    forward = _box_forward()
+    log_s_true = jnp.log(jnp.asarray(1.7))
+    y_clean = forward(jnp.asarray([log_s_true]))
+    noise = 1e-3
+    key = jax.random.PRNGKey(11)
+    k_obs, k_ens, k_run = jax.random.split(key, 3)
+    y = y_clean + noise * jax.random.normal(k_obs, y_clean.shape, y_clean.dtype)
+
+    theta0 = ensemble_init(k_ens, [0.0], [0.7], n_ens=24)
+    res = run_eks(
+        forward, theta0, y, noise**2, [0.0], [0.7**2],
+        n_iters=30, key=k_run,
+    )
+    s_est = float(jnp.exp(jnp.mean(res.theta[:, 0])))
+    assert abs(s_est - 1.7) / 1.7 < 0.03, s_est
+    assert float(res.misfit_history[-1]) < 1e-2 * float(res.misfit_history[0])
+    # a sampler keeps finite spread (EKI's ensemble would have collapsed)
+    assert float(jnp.std(res.theta[:, 0])) > 1e-5
 
 
 def test_uki_recovers_kernel_scale():
