@@ -477,17 +477,33 @@ def test_pallas_lognormal_fast_special_functions():
     assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
 
 
-def test_pallas_whole_step_matches_xla_orchestrated_step():
+@pytest.mark.parametrize(
+    "families,moving",
+    [
+        ((Family.GAMMA, Family.GAMMA), False),
+        ((Family.LOGNORMAL, Family.GAMMA), False),
+        # moving: 3 per-stage in-kernel Newton threshold inversions under
+        # interpret mode — minutes of CPU; slow tier
+        pytest.param((Family.GAMMA, Family.GAMMA), True, marks=pytest.mark.slow),
+    ],
+)
+def test_pallas_whole_step_matches_xla_orchestrated_step(families, moving):
     """The maximally fused whole-SSPRK33-step kernel (3 RHS evals + in-block
     lane-roll stencil + RK AXPYs in one Pallas kernel) equals the
     XLA-orchestrated fused-RHS step — and hence the AoS reference-semantics
-    step, by test_fused_rhs_soa_step_matches_aos_step."""
+    step, by test_fused_rhs_soa_step_matches_aos_step. Covers the production
+    two-gamma path, a lognormal thresholded mode (in-kernel Φ partial
+    moments) and MovingThreshold (per-column, per-RK-stage percentile
+    thresholds via in-kernel Newton gammaincinv)."""
     from cloudy_tpu import stepper
     from cloudy_tpu.models import rainshaft as rs
 
-    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    spec = SpectrumSpec(families)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
-    data = build_coalescence_data(spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9))
+    thresholds = (0.9, 1.0) if moving else (5e-10, np.inf)
+    data = build_coalescence_data(
+        spec, ker, thresholds, norms=(1e6, 1e-9), moving=moving
+    )
     config = rs.RainshaftConfig(spec=spec, nz=16, zmax=3000.0, norms=(1e6, 1e-9))
     state = rs.to_soa(jnp.asarray(_rainshaft_state(spec, config, 8)))
 

@@ -1,0 +1,123 @@
+"""Whole-step-kernel family ablations on the real chip.
+
+SCALING.json's single-kernel whole-SSPRK33-step record (the pod production
+path) is measured for the two-gamma config only; this tool puts measured
+numbers behind the same kernel's OTHER family paths — a lognormal
+thresholded mode (in-kernel Φ partial moments + quadrature grid: the
+config with the most extra transcendental work) and MovingThreshold
+(per-column, per-RK-stage Newton percentile inversion) — at the full 1M
+column x 32 level scale, and appends `whole_step_family_records` to
+ROOFLINE.json (companion of `family_records`, which covers the RHS-only
+kernel).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from cloudy_tpu.spec import Family, SpectrumSpec
+    from cloudy_tpu import kernels as K
+    from cloudy_tpu.coalescence import build_coalescence_data
+    from cloudy_tpu.models import rainshaft as rs
+    from cloudy_tpu.ops import pallas_coalescence as pc
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--columns", type=int, default=1 << 20)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.json"),
+    )
+    args = ap.parse_args()
+
+    E, nz = args.columns, 32
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    cases = [
+        # (name, families, thresholds, moving, f2_exact, kernel kwargs) —
+        # mirrors tools/roofline.py run_families for the RHS-only kernel
+        ("2gamma-exact", (Family.GAMMA, Family.GAMMA),
+         (5e-10, np.inf), False, True, {}),
+        ("lognorm-gamma-grid", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, False,
+         dict(quad_rule="gauss", gauss_nodes=12)),
+        ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
+         (0.9, 1.0), True, True,
+         dict(thr_newton_iters=8, thr_gammainc_iters=12)),
+    ]
+
+    records = []
+    for name, fams, thr, moving, f2x, kw in cases:
+        spec = SpectrumSpec(fams)
+        data = build_coalescence_data(
+            spec, ker, thr, norms=norms, moving=moving,
+            gammainc_iters=12, f2_exact=f2x, gammainc_gl_nodes=12,
+        )
+        config = rs.RainshaftConfig(
+            spec=spec, nz=nz, zmax=3000.0, norms=norms, dt=1.0
+        )
+        step = pc.make_pallas_rainshaft_step_fn(
+            data, config.vel, config.norms, nz=nz, dz=config.dz, dt=1.0,
+            block_cols=4096, **kw,
+        )
+
+        ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
+        ic = np.concatenate([ic1, np.zeros_like(ic1)], axis=-1)
+        state = rs.to_soa(jnp.asarray(
+            np.tile(ic[None], (E, 1, 1))
+            * np.linspace(0.5, 1.5, E)[:, None, None],
+            jnp.float32,
+        ))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def chain(y, n, step=step):
+            return jnp.sum(jax.lax.fori_loop(0, n, lambda _, yy: step(yy), y))
+
+        def t(n, reps=5):
+            float(chain(state, n))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chain(state, n))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        n1 = 2
+        dt_pilot = max((t(n1 + 4) - t(n1)) / 4, 1e-9)
+        n2 = n1 + int(np.clip(round(0.5 / dt_pilot), 8, 2000))
+        sec = max((t(n2) - t(n1)) / (n2 - n1), 1e-12)
+        rec = {
+            "name": name,
+            "families": [f.name for f in fams],
+            "moving": moving,
+            "f2_exact": f2x,
+            "n_columns": E,
+            "nz": nz,
+            "column_updates_per_s": E / sec,
+            "level_updates_per_s": E * nz / sec,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    doc = json.load(open(args.out))
+    doc["whole_step_family_records"] = records
+    json.dump(doc, open(args.out, "w"), indent=1)
+    print(f"wrote whole_step_family_records to {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
