@@ -143,6 +143,115 @@ def ensemble_init(key, prior_mean, prior_std, n_ens: int):
     )
 
 
+def run_sparse_eki(
+    forward: Callable,
+    theta0,
+    y,
+    noise_cov,
+    n_iters: int,
+    key,
+    lambda_l1: float = 1e-2,
+    prune_below: float = 0.0,
+    sparse_idx=None,
+    polish_iters: Optional[int] = None,
+    transform: Optional[Callable] = None,
+) -> EKIResult:
+    """Sparsity-promoting EKI (the EKP.jl `SparseInversion` capability),
+    in two phases:
+
+    1. **Support identification** — `n_iters` EKI updates, each followed by
+       a proximal l1 step (soft threshold ``θ ← sign(θ)·max(|θ| − λ, 0)``
+       plus a hard prune of entries below ``prune_below``) on the
+       coordinates in ``sparse_idx`` (default: all). The prox operator
+       replaces the reference ecosystem's per-member constrained QP with
+       the standard ISTA step — same l1-regularized fixed points, one
+       fused batched op on device.
+    2. **Debiasing polish** — repeated soft thresholding biases surviving
+       coefficients low (each prox subtracts up to λ after the Kalman
+       correction has shrunk), so the support is then frozen (coordinates
+       whose ensemble mean was thresholded to exactly 0 stay 0) and
+       ``polish_iters`` (default `n_iters`) PLAIN EKI updates refit the
+       active coefficients without shrinkage.
+
+    Use when the parameter vector is over-complete (e.g. all kernel-tensor
+    coefficients via `coalescence.make_kernel_diff_coal_fn`) and the
+    physics is expected to be explained by few terms. Returns an
+    `EKIResult` (histories cover both phases); exact-zero recovery and
+    debiasing are pinned in tests/test_calibrate.py."""
+    theta0 = jnp.atleast_2d(jnp.asarray(theta0))
+    p = theta0.shape[1]
+    if sparse_idx is None:
+        mask = jnp.ones(p, dtype=theta0.dtype)
+    else:
+        mask = jnp.zeros(p, dtype=theta0.dtype).at[jnp.asarray(sparse_idx)].set(1.0)
+    y = jnp.asarray(y, theta0.dtype)
+    d = y.shape[0]
+    gamma = _as_cov(noise_cov, d, theta0.dtype)
+    gamma_chol = jnp.linalg.cholesky(gamma)
+
+    fwd1 = forward if transform is None else (lambda t: forward(transform(t)))
+    fwd = jax.vmap(fwd1)
+
+    def misfit(g):
+        r = jax.scipy.linalg.solve_triangular(
+            gamma_chol, (y[None, :] - g).T, lower=True
+        )
+        return jnp.mean(r**2)
+
+    def prox(theta):
+        soft = jnp.sign(theta) * jnp.maximum(jnp.abs(theta) - lambda_l1, 0.0)
+        soft = jnp.where(jnp.abs(soft) < prune_below, 0.0, soft)
+        return mask * soft + (1.0 - mask) * theta
+
+    def body(theta, k):
+        g = fwd(theta)
+        theta_next = prox(eki_step(theta, g, y, gamma, k))
+        return theta_next, (theta, misfit(g))
+
+    k_prox, k_polish = jax.random.split(key)
+    keys = jax.random.split(k_prox, n_iters)
+    theta_f, (th_hist, mf_hist) = jax.lax.scan(body, theta0, keys)
+
+    # phase 2: freeze the identified support, refit without shrinkage
+    n_polish = n_iters if polish_iters is None else polish_iters
+    support = jnp.where(
+        mask > 0,
+        (jnp.abs(jnp.mean(theta_f, axis=0)) > 0.0).astype(theta0.dtype),
+        1.0,
+    )
+
+    def body_polish(theta, k):
+        g = fwd(theta)
+        theta_next = support[None, :] * eki_step(theta, g, y, gamma, k)
+        return theta_next, (theta, misfit(g))
+
+    theta_f = support[None, :] * theta_f
+    if n_polish > 0:
+        # phase 1 both collapses the ensemble (standard EKI) and biases the
+        # survivors low (prox shrinkage) — re-inflate around the pruned mean
+        # with spread ~ the worst-case shrinkage bias so the polish phase
+        # has the covariance it needs to undo it
+        k_inflate, k_polish = jax.random.split(k_polish)
+        spread = lambda_l1 * n_iters + prune_below
+        theta_f = support[None, :] * (
+            jnp.mean(theta_f, axis=0)[None, :]
+            + spread * jax.random.normal(k_inflate, theta_f.shape, theta0.dtype)
+        )
+        keys2 = jax.random.split(k_polish, n_polish)
+        theta_f, (th_hist2, mf_hist2) = jax.lax.scan(
+            body_polish, theta_f, keys2
+        )
+        th_hist = jnp.concatenate([th_hist, th_hist2], axis=0)
+        mf_hist = jnp.concatenate([mf_hist, mf_hist2], axis=0)
+
+    g_f = fwd(theta_f)
+    return EKIResult(
+        theta_f,
+        jnp.concatenate([th_hist, theta_f[None]], axis=0),
+        jnp.concatenate([mf_hist, misfit(g_f)[None]], axis=0),
+    )
+
+
 def run_eks(
     forward: Callable,
     theta0,

@@ -26,6 +26,7 @@ from cloudy_tpu.calibrate import (
     fit_gradient,
     run_eki,
     run_eks,
+    run_sparse_eki,
     run_uki,
 )
 from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints
@@ -100,6 +101,52 @@ def test_eki_step_matches_kalman_posterior_linear_gaussian():
     np.testing.assert_allclose(
         np.asarray(jnp.mean(theta1, axis=0)), np.asarray(m_post), atol=0.03
     )
+
+
+def test_sparse_eki_recovers_sparse_coefficients():
+    """Sparse EKI zeroes the inactive coordinates EXACTLY (hard prune) while
+    recovering the active one — plain EKI leaves noise on every coordinate.
+    Mirrors the over-complete kernel-coefficient calibration use-case."""
+    key = jax.random.PRNGKey(21)
+    P, D, J = 4, 6, 40
+    kA, kens, krun1, krun2 = jax.random.split(key, 4)
+    A = jax.random.normal(kA, (D, P))
+    theta_true = jnp.asarray([0.0, 1.5, 0.0, 0.0])
+    y = A @ theta_true
+    gamma = 1e-4
+
+    theta0 = ensemble_init(kens, jnp.zeros(P), jnp.ones(P), n_ens=J)
+    res = run_sparse_eki(
+        lambda t: A @ t, theta0, y, gamma, n_iters=12, key=krun1,
+        lambda_l1=0.05, prune_below=0.1,
+    )
+    m = np.asarray(jnp.mean(res.theta, axis=0))
+    assert m[0] == 0.0 and m[2] == 0.0 and m[3] == 0.0, m
+    # soft thresholding biases the active coefficient by ≤ λ
+    assert abs(m[1] - 1.5) < 0.1, m
+    assert float(res.misfit_history[-1]) < 1e-2 * float(res.misfit_history[0])
+
+    res_plain = run_eki(lambda t: A @ t, theta0, y, gamma, n_iters=12, key=krun2)
+    m_plain = np.asarray(jnp.mean(res_plain.theta, axis=0))
+    assert np.abs(m_plain[[0, 2, 3]]).max() > 0.0  # no exact zeros
+
+
+def test_sparse_eki_sparse_idx_protects_dense_coords():
+    """Coordinates outside sparse_idx are never thresholded."""
+    key = jax.random.PRNGKey(23)
+    A = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    y = A @ jnp.asarray([0.02, 1.0])  # coord 0 small but PROTECTED
+    theta0 = ensemble_init(
+        jax.random.fold_in(key, 0), jnp.zeros(2), jnp.ones(2), n_ens=30
+    )
+    res = run_sparse_eki(
+        lambda t: A @ t, theta0, y, 1e-6, n_iters=8,
+        key=jax.random.fold_in(key, 1),
+        lambda_l1=0.03, prune_below=0.2, sparse_idx=[1],
+    )
+    m = np.asarray(jnp.mean(res.theta, axis=0))
+    assert abs(m[0] - 0.02) < 0.02 and m[0] != 0.0  # protected, not zeroed
+    assert abs(m[1] - 1.0) < 0.25  # thresholded coord still recovered
 
 
 def test_eks_samples_linear_gaussian_posterior():
