@@ -132,6 +132,18 @@ def run_parcel(config: ParcelConfig, Y0):
     )
 
 
+def run_parcel_adaptive(config: ParcelConfig, Y0, rtol=1e-7, atol=1e-10):
+    """Adaptive-Δt parcel run — the reference's actual configuration
+    (parcel_example.jl:105-110 solves SSPRK33 with reltol/abstol ~100·eps);
+    `run_parcel`'s fixed grid matches its dtmax instead. Returns
+    (Y_final, stats) from `stepper.integrate_adaptive`."""
+    rhs = make_parcel_rhs(config)
+    return stepper.integrate_adaptive(
+        rhs, jnp.asarray(Y0), 0.0, config.t_end, rtol=rtol, atol=atol,
+        dt0=config.dt, method=config.method,
+    )
+
+
 # Rogers (1975) Figure 1 digitized data (reference parcel_example.jl:188-193)
 ROGERS_TIME_SUPERSAT = np.array(
     [0.0645, 0.511, 0.883, 1.4, 2.07, 2.72, 3.24, 3.89, 4.53, 5.87, 7.16, 9.79, 16.0, 19.8]

@@ -43,6 +43,85 @@ STEPPERS = {
 }
 
 
+_ORDERS = {"euler": 1, "ssprk33": 3, "rk4": 4}
+
+
+def integrate_adaptive(
+    f: Callable,
+    y0,
+    t0: float,
+    t1: float,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    dt0: Optional[float] = None,
+    method: str = "ssprk33",
+    max_steps: int = 100_000,
+    safety: float = 0.9,
+):
+    """Adaptive-Δt integration to ``t1`` under ONE `lax.while_loop`.
+
+    Mirrors the reference's adaptive parcel run (parcel_example.jl:105-110:
+    SSPRK33 with reltol/abstol) the XLA-compatible way: error estimation by
+    step doubling — each trial compares one full step against two half
+    steps; their difference Δ scaled by 1/(2^p − 1) estimates the local
+    error of the (kept, more accurate) two-half-step solution — and the
+    standard controller ``dt ← dt·clip(safety·err^(-1/(p+1)), 0.2, 5)``
+    with rejection when the weighted RMS error exceeds 1. Static shapes,
+    no data-dependent Python control flow: jit/vmap-compatible (while_loop
+    is forward-mode only — for `jax.grad` through a trajectory use fixed-dt
+    `integrate`, whose scan reverse-differentiates).
+
+    Returns ``(y1, stats)`` with ``stats = {"n_accept", "n_reject",
+    "dt_last"}`` (f32/f64 scalars). Cost per trial is 3 steps of ``method``
+    (full + 2 half); use fixed-dt `integrate` when the dynamics' stiffness
+    is known and a trajectory is wanted.
+    """
+    step = STEPPERS[method]
+    p = _ORDERS[method]
+    y0 = jnp.asarray(y0)
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    dt_init = (
+        (t1 - t0) / 100.0 if dt0 is None else jnp.asarray(dt0, dtype)
+    )
+    scale_err = 1.0 / (2.0**p - 1.0)
+
+    def cond(carry):
+        y, t, dt, na, nr = carry
+        return (t < t1) & (na + nr < max_steps)
+
+    def body(carry):
+        y, t, dt, na, nr = carry
+        dt = jnp.minimum(dt, t1 - t)
+        y_full = step(f, y, t, dt)
+        y_half = step(f, y, t, 0.5 * dt)
+        y_two = step(f, y_half, t + 0.5 * dt, 0.5 * dt)
+        delta = (y_two - y_full) * scale_err
+        tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_two))
+        err = jnp.sqrt(jnp.mean((delta / tol) ** 2))
+        accept = err <= 1.0
+        # err can be 0 (exact/linear segments) — guard the power law
+        grow = safety * jnp.maximum(err, 1e-12) ** (-1.0 / (p + 1))
+        dt_next = dt * jnp.clip(grow, 0.2, 5.0)
+        y = jnp.where(accept, y_two, y)
+        t = jnp.where(accept, t + dt, t)
+        return (
+            y,
+            t,
+            dt_next,
+            na + accept.astype(jnp.int32),
+            nr + (~accept).astype(jnp.int32),
+        )
+
+    y1, t_f, dt_f, na, nr = jax.lax.while_loop(
+        cond,
+        body,
+        (y0, t0, dt_init, jnp.int32(0), jnp.int32(0)),
+    )
+    return y1, {"n_accept": na, "n_reject": nr, "dt_last": dt_f}
+
+
 def integrate(
     f: Callable,
     y0,

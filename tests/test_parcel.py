@@ -64,3 +64,18 @@ def test_parcel_mass_budget_closed():
     q_l = ys[:, 5] / rho
     total = ys[:, 3] + q_l
     np.testing.assert_allclose(total, total[0], rtol=2e-3)
+
+
+def test_parcel_adaptive_matches_fixed_dt():
+    """run_parcel_adaptive (the reference's actual reltol/abstol-controlled
+    configuration, parcel_example.jl:105-110) agrees with the fine fixed-dt
+    trajectory endpoint."""
+    spec, mom0, ml_v = pm.init_conditions("monodisperse")
+    config = pm.ParcelConfig(spec=spec, w=10.0, dt=0.25, t_end=20.0)
+    Y0 = pm.initial_state(config, mom0, ml_v, p0=8e4, T0=273.15 + 7.0, S0=1.0)
+    _, ys = pm.run_parcel(config, Y0)
+    y_ad, st = pm.run_parcel_adaptive(config, Y0, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(y_ad), np.asarray(ys[-1]), rtol=1e-5, atol=1e-12
+    )
+    assert int(st["n_reject"]) < int(st["n_accept"])

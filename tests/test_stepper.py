@@ -55,3 +55,56 @@ def test_remat_matches():
     _, a = stepper.integrate(f, jnp.asarray([1.0]), 0.0, 0.1, 10, remat=False)
     _, b = stepper.integrate(f, jnp.asarray([1.0]), 0.0, 0.1, 10, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-15)
+
+
+def test_adaptive_accuracy_tracks_rtol():
+    """integrate_adaptive hits the requested tolerance on a smooth problem
+    (reference parcel_example.jl:105-110 runs SSPRK33 adaptively) and
+    spends more steps at tighter tolerance."""
+    import jax
+
+    f = lambda y, t: -y + jnp.sin(t)
+    exact_f = lambda: None
+    # exact solution of y' = -y + sin t, y(0)=1: 1.5 e^{-t} + (sin t - cos t)/2
+    t1 = 3.0
+    exact = 1.5 * np.exp(-t1) + 0.5 * (np.sin(t1) - np.cos(t1))
+
+    y_loose, st_loose = jax.jit(
+        lambda y: stepper.integrate_adaptive(f, y, 0.0, t1, rtol=1e-4, atol=1e-8)
+    )(jnp.asarray([1.0]))
+    y_tight, st_tight = jax.jit(
+        lambda y: stepper.integrate_adaptive(f, y, 0.0, t1, rtol=1e-8, atol=1e-12)
+    )(jnp.asarray([1.0]))
+
+    assert abs(float(y_loose[0]) - exact) < 1e-3
+    assert abs(float(y_tight[0]) - exact) < 1e-6
+    assert int(st_tight["n_accept"]) > int(st_loose["n_accept"])
+    assert int(st_loose["n_reject"]) < int(st_loose["n_accept"])
+
+
+def test_adaptive_matches_fixed_dt_on_coalescence_box():
+    """Adaptive SSPRK33 on the real coalescence RHS agrees with a fine
+    fixed-dt trajectory."""
+    from cloudy_tpu.spec import Family, SpectrumSpec
+    from cloudy_tpu import kernels as K
+    from cloudy_tpu import distributions as pd
+    from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints
+
+    spec = SpectrumSpec((Family.GAMMA,))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (np.inf,), norms=(1e6, 1e-9))
+    y0 = jnp.asarray([1e2, 1e1, 2.0])
+
+    def rhs(m, t):
+        del t
+        return get_coal_ints(data, pd.params_from_moments(spec, m))
+
+    _, ys = stepper.integrate(rhs, y0, 0.0, 0.01, 3000)  # fine fixed dt
+    y_ad, st = stepper.integrate_adaptive(
+        rhs, y0, 0.0, 30.0, rtol=1e-7, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_ad), np.asarray(ys[-1]), rtol=1e-5
+    )
+    # adaptivity must beat the fine fixed grid on step count
+    assert int(st["n_accept"]) < 3000
