@@ -37,6 +37,7 @@ from cloudy_tpu import coalescence_numerical
 from cloudy_tpu import condensation
 from cloudy_tpu import sedimentation
 from cloudy_tpu import stepper
+from cloudy_tpu import calibrate
 
 __version__ = "0.1.0"
 
@@ -53,4 +54,5 @@ __all__ = [
     "condensation",
     "sedimentation",
     "stepper",
+    "calibrate",
 ]
