@@ -38,13 +38,15 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--columns", type=int, default=1 << 20)
+    ap.add_argument("--nz", type=int, default=32)
+    ap.add_argument("--case", default=None, help="run only this case name")
     ap.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.json"),
     )
     args = ap.parse_args()
 
-    E, nz = args.columns, 32
+    E, nz = args.columns, args.nz
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
     cases = [
@@ -59,6 +61,9 @@ def main():
          (0.9, 1.0), True, True,
          dict(thr_newton_iters=8, thr_gammainc_iters=12)),
     ]
+
+    if args.case is not None:
+        cases = [c for c in cases if c[0] == args.case]
 
     records = []
     for name, fams, thr, moving, f2x, kw in cases:
@@ -114,7 +119,11 @@ def main():
         print(json.dumps(rec), flush=True)
 
     doc = json.load(open(args.out))
-    doc["whole_step_family_records"] = records
+    key = "whole_step_family_records"
+    if args.nz != 32 or args.case is not None:
+        doc.setdefault(key, []).extend(records)
+    else:
+        doc[key] = records
     json.dump(doc, open(args.out, "w"), indent=1)
     print(f"wrote whole_step_family_records to {args.out}", flush=True)
 
