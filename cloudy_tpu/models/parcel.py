@@ -133,10 +133,15 @@ def run_parcel(config: ParcelConfig, Y0):
 
 
 def run_parcel_adaptive(config: ParcelConfig, Y0, rtol=1e-7, atol=1e-10):
-    """Adaptive-Δt parcel run — the reference's actual configuration
-    (parcel_example.jl:105-110 solves SSPRK33 with reltol/abstol ~100·eps);
-    `run_parcel`'s fixed grid matches its dtmax instead. Returns
-    (Y_final, stats) from `stepper.integrate_adaptive`."""
+    """Adaptive-Δt parcel run — an added capability beyond the reference.
+
+    The reference passes reltol/abstol to OrdinaryDiffEq's SSPRK33
+    (parcel_example.jl:105-110), but SSPRK33 has no embedded error
+    estimator and is fixed-step-only, so those tolerances are inert and the
+    reference actually integrates at fixed dt — which fixed-grid
+    `run_parcel` is the true parity path for. This adds real step-doubling
+    adaptivity on top. Returns (Y_final, stats) from
+    `stepper.integrate_adaptive`; check ``stats["reached"]``."""
     rhs = make_parcel_rhs(config)
     return stepper.integrate_adaptive(
         rhs, jnp.asarray(Y0), 0.0, config.t_end, rtol=rtol, atol=atol,

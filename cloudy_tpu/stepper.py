@@ -60,21 +60,28 @@ def integrate_adaptive(
 ):
     """Adaptive-Δt integration to ``t1`` under ONE `lax.while_loop`.
 
-    Mirrors the reference's adaptive parcel run (parcel_example.jl:105-110:
-    SSPRK33 with reltol/abstol) the XLA-compatible way: error estimation by
-    step doubling — each trial compares one full step against two half
-    steps; their difference Δ scaled by 1/(2^p − 1) estimates the local
-    error of the (kept, more accurate) two-half-step solution — and the
-    standard controller ``dt ← dt·clip(safety·err^(-1/(p+1)), 0.2, 5)``
-    with rejection when the weighted RMS error exceeds 1. Static shapes,
-    no data-dependent Python control flow: jit/vmap-compatible (while_loop
-    is forward-mode only — for `jax.grad` through a trajectory use fixed-dt
+    An added capability beyond the reference: the reference's parcel example
+    passes reltol/abstol to OrdinaryDiffEq's SSPRK33
+    (parcel_example.jl:105-110), but SSPRK33 has no embedded error estimator
+    and is fixed-step-only — those tolerances are inert there, so the true
+    parity path is fixed-dt `integrate`. This function provides real
+    adaptivity the XLA-compatible way: error estimation by step doubling —
+    each trial compares one full step against two half steps; their
+    difference Δ scaled by 1/(2^p − 1) estimates the local error of the
+    (kept, more accurate) two-half-step solution — and the standard
+    controller ``dt ← dt·clip(safety·err^(-1/(p+1)), 0.2, 5)`` with
+    rejection when the weighted RMS error exceeds 1. Static shapes, no
+    data-dependent Python control flow: jit/vmap-compatible (while_loop is
+    forward-mode only — for `jax.grad` through a trajectory use fixed-dt
     `integrate`, whose scan reverse-differentiates).
 
     Returns ``(y1, stats)`` with ``stats = {"n_accept", "n_reject",
-    "dt_last"}`` (f32/f64 scalars). Cost per trial is 3 steps of ``method``
-    (full + 2 half); use fixed-dt `integrate` when the dynamics' stiffness
-    is known and a trajectory is wanted.
+    "dt_last", "t_final", "reached"}`` (scalars). ``reached`` is True iff
+    the integration actually arrived at ``t1`` — if `max_steps` trials are
+    exhausted (stiff RHS, or a NaN RHS rejecting every trial), ``y1`` is
+    short of ``t1`` and callers must check this flag. Cost per trial is 3
+    steps of ``method`` (full + 2 half); use fixed-dt `integrate` when the
+    dynamics' stiffness is known and a trajectory is wanted.
     """
     step = STEPPERS[method]
     p = _ORDERS[method]
@@ -101,9 +108,11 @@ def integrate_adaptive(
         tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_two))
         err = jnp.sqrt(jnp.mean((delta / tol) ** 2))
         accept = err <= 1.0
-        # err can be 0 (exact/linear segments) — guard the power law
+        # err can be 0 (exact/linear segments) — guard the power law; a NaN
+        # err (NaN RHS) must not poison dt itself or the loop spins at the
+        # cap with dt = NaN
         grow = safety * jnp.maximum(err, 1e-12) ** (-1.0 / (p + 1))
-        dt_next = dt * jnp.clip(grow, 0.2, 5.0)
+        dt_next = dt * jnp.clip(jnp.nan_to_num(grow, nan=0.2), 0.2, 5.0)
         y = jnp.where(accept, y_two, y)
         t = jnp.where(accept, t + dt, t)
         return (
@@ -119,7 +128,13 @@ def integrate_adaptive(
         body,
         (y0, t0, dt_init, jnp.int32(0), jnp.int32(0)),
     )
-    return y1, {"n_accept": na, "n_reject": nr, "dt_last": dt_f}
+    return y1, {
+        "n_accept": na,
+        "n_reject": nr,
+        "dt_last": dt_f,
+        "t_final": t_f,
+        "reached": t_f >= t1,
+    }
 
 
 def integrate(

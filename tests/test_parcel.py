@@ -67,9 +67,10 @@ def test_parcel_mass_budget_closed():
 
 
 def test_parcel_adaptive_matches_fixed_dt():
-    """run_parcel_adaptive (the reference's actual reltol/abstol-controlled
-    configuration, parcel_example.jl:105-110) agrees with the fine fixed-dt
-    trajectory endpoint."""
+    """run_parcel_adaptive (added capability — the reference's
+    reltol/abstol kwargs are inert under fixed-step SSPRK33,
+    parcel_example.jl:105-110) agrees with the fine fixed-dt trajectory
+    endpoint."""
     spec, mom0, ml_v = pm.init_conditions("monodisperse")
     config = pm.ParcelConfig(spec=spec, w=10.0, dt=0.25, t_end=20.0)
     Y0 = pm.initial_state(config, mom0, ml_v, p0=8e4, T0=273.15 + 7.0, S0=1.0)

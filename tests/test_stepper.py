@@ -59,12 +59,12 @@ def test_remat_matches():
 
 def test_adaptive_accuracy_tracks_rtol():
     """integrate_adaptive hits the requested tolerance on a smooth problem
-    (reference parcel_example.jl:105-110 runs SSPRK33 adaptively) and
-    spends more steps at tighter tolerance."""
+    and spends more steps at tighter tolerance. (Added capability: the
+    reference's parcel passes reltol/abstol to SSPRK33, which has no error
+    estimator and ignores them — parcel_example.jl:105-110.)"""
     import jax
 
     f = lambda y, t: -y + jnp.sin(t)
-    exact_f = lambda: None
     # exact solution of y' = -y + sin t, y(0)=1: 1.5 e^{-t} + (sin t - cos t)/2
     t1 = 3.0
     exact = 1.5 * np.exp(-t1) + 0.5 * (np.sin(t1) - np.cos(t1))
@@ -80,6 +80,20 @@ def test_adaptive_accuracy_tracks_rtol():
     assert abs(float(y_tight[0]) - exact) < 1e-6
     assert int(st_tight["n_accept"]) > int(st_loose["n_accept"])
     assert int(st_loose["n_reject"]) < int(st_loose["n_accept"])
+    assert bool(st_loose["reached"]) and bool(st_tight["reached"])
+    assert abs(float(st_tight["t_final"]) - t1) < 1e-12
+
+
+def test_adaptive_reports_truncation_on_max_steps():
+    """When max_steps trials are exhausted before t1, `reached` is False and
+    t_final records how far the integration actually got (ADVICE r3 #1)."""
+    f = lambda y, t: -y
+    y1, st = stepper.integrate_adaptive(
+        f, jnp.asarray([1.0]), 0.0, 1e6, rtol=1e-10, atol=1e-14, max_steps=10
+    )
+    assert not bool(st["reached"])
+    assert float(st["t_final"]) < 1e6
+    assert np.all(np.isfinite(np.asarray(y1)))
 
 
 def test_adaptive_matches_fixed_dt_on_coalescence_box():

@@ -60,6 +60,12 @@ def main():
         ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
          (0.9, 1.0), True, True,
          dict(thr_newton_iters=8, thr_gammainc_iters=12)),
+        # VERDICT r3 #7: complete the family matrix — exp-mixture and
+        # monodisperse whole-step rows
+        ("exp-gamma-exact", (Family.EXPONENTIAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, {}),
+        ("mono-gamma-closed", (Family.MONODISPERSE, Family.GAMMA),
+         (5e-10, np.inf), False, True, {}),
     ]
 
     if args.case is not None:
@@ -80,8 +86,15 @@ def main():
             block_cols=4096, **kw,
         )
 
+        # mode-1 top-hat pulse (first nprog moments of a physically
+        # consistent triple), higher modes empty — families with 2
+        # prognostic moments (exp/mono) take the first two
         ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
-        ic = np.concatenate([ic1, np.zeros_like(ic1)], axis=-1)
+        ic = np.concatenate(
+            [ic1[:, : spec.nprogmoms[0]],
+             np.zeros((ic1.shape[0], spec.n_tot - spec.nprogmoms[0]))],
+            axis=-1,
+        )
         state = rs.to_soa(jnp.asarray(
             np.tile(ic[None], (E, 1, 1))
             * np.linspace(0.5, 1.5, E)[:, None, None],
@@ -120,10 +133,15 @@ def main():
 
     doc = json.load(open(args.out))
     key = "whole_step_family_records"
-    if args.nz != 32 or args.case is not None:
-        doc.setdefault(key, []).extend(records)
-    else:
-        doc[key] = records
+    # merge by (name, nz, n_columns): replace matching records, keep the
+    # rest (ADVICE r3 #3 — a default re-run must not drop e.g. the nz=128
+    # depth-invariance record docs/performance.md cites)
+    def _k(r):
+        return (r["name"], r["nz"], r["n_columns"])
+
+    new_keys = {_k(r) for r in records}
+    kept = [r for r in doc.get(key, []) if _k(r) not in new_keys]
+    doc[key] = kept + records
     json.dump(doc, open(args.out, "w"), indent=1)
     print(f"wrote whole_step_family_records to {args.out}", flush=True)
 
