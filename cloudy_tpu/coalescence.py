@@ -228,13 +228,15 @@ def build_coalescence_data(
 # --------------------------------------------------------------------------
 
 
-def _gammainc_top(a, x, iters: int, gl_nodes: int, log_x=None):
+def _gammainc_top(a, x, iters: int, gl_nodes: int, log_x=None, gln=None):
     """Top-order incomplete gamma of the F2 downward recurrences: the
     Gauss–Legendre scheme when `gl_nodes` > 0 (proven uniform accuracy over
     the reachable a ∈ [2, 26] domain — see special.gammainc_gl), else the
-    series/CF pair at `iters` iterations (reference-parity default)."""
+    series/CF pair at `iters` iterations (reference-parity default).
+    ``gln`` (= lgamma(a)) lets the exact-F2 caller reuse its delta chain's
+    Lanczos evaluation."""
     if gl_nodes:
-        return special.gammainc_gl(a, x, n_nodes=gl_nodes)
+        return special.gammainc_gl(a, x, n_nodes=gl_nodes, gln=gln)
     return special.gammainc_impl(a, x, n_iters=iters, log_x=log_x)
 
 
@@ -342,13 +344,21 @@ def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int,
     a0 = 2.0 * k
     # Poisson terms d_j = x^{2k+j} e^{−x}/Γ(2k+j+1), j = 0..2M−3, built
     # upward multiplicatively from one exp/lgamma
-    d = special.exp(a0 * log_x - x - special.lgamma(a0 + 1.0))
+    lga01 = special.lgamma(a0 + 1.0)
+    d = special.exp(a0 * log_x - x - lga01)
     d = jnp.where(x > 0.0, d, 0.0)
     ds = [d]
+    prod = None
     for j in range(1, 2 * M - 2):
         ds.append(ds[-1] * x / (a0 + j))
-    # top order directly, then downward (adds positive terms — stable)
-    gi = _gammainc_top(a0 + (2.0 * M - 2.0), x, iters, gl_nodes, log_x=log_x)
+        prod = (a0 + j) if prod is None else prod * (a0 + j)
+    # top order directly, then downward (adds positive terms — stable);
+    # lgamma(a0+2M−2) = lgamma(a0+1) + log((a0+1)…(a0+2M−3)) reuses the
+    # delta chain's Lanczos — identical arithmetic to the Pallas kernel
+    gi = _gammainc_top(
+        a0 + (2.0 * M - 2.0), x, iters, gl_nodes, log_x=log_x,
+        gln=None if prod is None else lga01 + jnp.log(prod),
+    )
     gis = [gi]
     for j in range(2 * M - 3, -1, -1):
         gi = jnp.clip(gi + ds[j], 0.0, 1.0)
@@ -532,7 +542,8 @@ def get_coal_ints(data: CoalescenceData, params, wb=None, wf=None) -> jnp.ndarra
     thresholds = None
     if data.moving:
         thresholds = pdists.compute_thresholds(
-            spec, params, tuple(data.thresholds)
+            spec, params, tuple(data.thresholds),
+            fast_gl_nodes=data.gammainc_gl_nodes,
         )
     f2 = get_finite_2d_integrals(data, params, mom, thresholds)
 

@@ -509,13 +509,18 @@ def get_standard_N_q(spec: SpectrumSpec, params, size_cutoff=1e-6):
     }
 
 
-def compute_thresholds(spec: SpectrumSpec, params, percentiles) -> jnp.ndarray:
+def compute_thresholds(
+    spec: SpectrumSpec, params, percentiles, fast_gl_nodes: int = 0
+) -> jnp.ndarray:
     """Inverse-CDF percentile thresholds per mode; the last mode is +inf
     (reference `compute_thresholds`,
     src/ParticleDistributions/ParticleDistributions.jl:721-761).
 
     exp: −θ log(1−p); gamma: θ · P⁻¹(k, p); lognormal: exp(μ + σΦ⁻¹(p));
-    mono: θ. All clamped below at 1e-18.
+    mono: θ. All clamped below at 1e-18. ``fast_gl_nodes`` > 0 selects the
+    proven-bound fast gamma inverse (`special.gammaincinv_gl`, < 2e-5 rel
+    worst case — the MovingThreshold production path; matches the Pallas
+    kernel's in-kernel inversion arithmetic exactly).
     """
     params = jnp.asarray(params)
     dtype = params.dtype
@@ -533,7 +538,12 @@ def compute_thresholds(spec: SpectrumSpec, params, percentiles) -> jnp.ndarray:
         if fam == Family.EXPONENTIAL:
             thr = -th * jnp.log1p(-p)
         elif fam == Family.GAMMA:
-            thr = th * special.gammaincinv(k, p)
+            if fast_gl_nodes:
+                thr = th * special.gammaincinv_gl_impl(
+                    k, jnp.broadcast_to(p, k.shape), n_nodes=fast_gl_nodes
+                )
+            else:
+                thr = th * special.gammaincinv(k, p)
         elif fam == Family.LOGNORMAL:
             thr = special.exp(th + k * special.ndtri(p))  # (μ, σ) layout
         elif fam == Family.MONODISPERSE:

@@ -172,11 +172,15 @@ def _make_coal_body(
     if gammainc_gl_nodes is None:
         gammainc_gl_nodes = data.gammainc_gl_nodes
 
-    def _gi_top(a, x, log_x=None):
+    def _gi_top(a, x, log_x=None, gln=None):
         # F2 top-order incomplete gamma: GL scheme when configured (proven
-        # uniform accuracy, see special.gammainc_gl), else series/CF
+        # uniform accuracy, see special.gammainc_gl), else series/CF.
+        # ``gln`` (= lgamma(a)) lets the exact-F2 path reuse its delta
+        # chain's Lanczos evaluation instead of paying a second one.
         if gammainc_gl_nodes:
-            return special.gammainc_gl(a, x, n_nodes=gammainc_gl_nodes)
+            return special.gammainc_gl(
+                a, x, n_nodes=gammainc_gl_nodes, gln=gln
+            )
         return special.gammainc_impl(a, x, n_iters=iters, log_x=log_x)
 
     wb_nz = _wb_nonzeros(data)
@@ -279,16 +283,30 @@ def _make_coal_body(
                 if fam == Family.EXPONENTIAL:
                     thr = p1 * (-float(np.log1p(-p)))
                 elif fam == Family.GAMMA:
-                    # unroll only when lowering through Mosaic (straight-line
-                    # code); interpret mode keeps the rolled loop — the float
-                    # op sequence is identical either way
-                    thr = p1 * special.gammaincinv_impl(
-                        p2,
-                        jnp.full_like(p1, p),
-                        n_newton=thr_newton_iters,
-                        n_iters=thr_gammainc_iters,
-                        unroll=not interpret,
-                    )
+                    if gammainc_gl_nodes:
+                        # proven-bound fast inverse (VERDICT r3 #2): WH +
+                        # small-x start, 3 Halley iterations, shift-4 GL
+                        # inner — < 2e-5 rel f64 / < 2e-4 f32 worst case
+                        # over the reachable (k, p) domain
+                        # (tests/test_special.py), ~3x cheaper than the
+                        # 8×12 series/CF Newton ablation setting
+                        thr = p1 * special.gammaincinv_gl_impl(
+                            p2,
+                            jnp.full_like(p1, p),
+                            n_iter=3,
+                            n_nodes=gammainc_gl_nodes,
+                        )
+                    else:
+                        # unroll only when lowering through Mosaic
+                        # (straight-line code); interpret mode keeps the
+                        # rolled loop — the float op sequence is identical
+                        thr = p1 * special.gammaincinv_impl(
+                            p2,
+                            jnp.full_like(p1, p),
+                            n_newton=thr_newton_iters,
+                            n_iters=thr_gammainc_iters,
+                            unroll=not interpret,
+                        )
                 elif fam == Family.LOGNORMAL:
                     thr = special.exp(p1 + p2 * z_ndtri[i])
                 elif fam == Family.MONODISPERSE:
@@ -385,12 +403,22 @@ def _make_coal_body(
             x = jnp.minimum(T / theta, 1e6)
             log_x = jnp.log(jnp.maximum(x, tiny))
             a0 = 2.0 * k
-            d = special.exp(a0 * log_x - x - special.lgamma(a0 + 1.0))
+            lga01 = special.lgamma(a0 + 1.0)
+            d = special.exp(a0 * log_x - x - lga01)
             d = jnp.where(x > 0.0, d, 0.0)
             ds = [d]
+            prod = None
             for j in range(1, 2 * M - 2):
                 ds.append(ds[-1] * x / (a0 + j))
-            gi = _gi_top(a0 + (2.0 * M - 2.0), x, log_x=log_x)
+                prod = (a0 + j) if prod is None else prod * (a0 + j)
+            # lgamma(a0 + 2M−2) = lgamma(a0+1) + log((a0+1)…(a0+2M−3)):
+            # one log instead of a second Lanczos chain in the GL scheme
+            gi = _gi_top(
+                a0 + (2.0 * M - 2.0),
+                x,
+                log_x=log_x,
+                gln=None if prod is None else lga01 + jnp.log(prod),
+            )
             gis = [gi]
             for j in range(2 * M - 3, -1, -1):
                 gi = jnp.clip(gi + ds[j], 0.0, 1.0)
@@ -617,7 +645,7 @@ def make_pallas_coal_fn(
     return fn
 
 
-def _sedi_flux_rows(spec, params, vel_n, dtype):
+def _sedi_flux_rows(spec, params, vel_n, dtype, fast_ratio: bool = False):
     """Physical-velocity sedimentation flux ladder on row tiles: returns the
     n_tot NORMALIZED-unit flux rows ``-Σ_k c_k·M_{m+e_k}`` per (mode i,
     moment m), from the closure params — the fused in-kernel form of
@@ -625,7 +653,12 @@ def _sedi_flux_rows(spec, params, vel_n, dtype):
     Fractional moments by the per-mode recurrence
     ``M_{m+1+e} = M_{m+e}·θ·(k+m+e)`` off one lgamma-pair base (gamma), a
     static Γ(1+e) base (exponential), or the direct closed form
-    (lognormal/monodisperse)."""
+    (lognormal/monodisperse). ``fast_ratio`` (set with the proven-bound
+    fast special-function tier, gammainc_gl_nodes > 0) replaces the gamma
+    base's Lanczos-lgamma pair with `special.gamma_ratio` — 2 logs + 1 exp
+    instead of ~23 transcendental-class ops, < 5e-7 relative
+    (tests/test_special.py); it was the dominant unaccounted term of the
+    whole-step roofline (VERDICT r3 #1)."""
     tiny = jnp.finfo(dtype).tiny
     out = [None] * spec.n_tot
     for i, fam in enumerate(spec.families):
@@ -635,9 +668,14 @@ def _sedi_flux_rows(spec, params, vel_n, dtype):
         for (c, e) in vel_n:
             # fractional-moment ladder M_{m+e}, m = 0..nprog-1
             if fam == Family.GAMMA:
-                t = n * special.exp(
-                    e * logp1 + special.lgamma(p2 + e) - special.lgamma(p2)
-                )
+                if fast_ratio:
+                    t = n * special.exp(e * logp1) * special.gamma_ratio(
+                        p2, e
+                    )
+                else:
+                    t = n * special.exp(
+                        e * logp1 + special.lgamma(p2 + e) - special.lgamma(p2)
+                    )
             elif fam == Family.EXPONENTIAL:
                 t = n * (math.gamma(1.0 + e)) * special.exp(e * logp1)
             elif fam == Family.MONODISPERSE:
@@ -695,6 +733,9 @@ def make_pallas_rainshaft_rhs_fn(
     ]
     vel_n = tuple((float(c) * norms[1] ** float(e), float(e)) for (c, e) in vel)
 
+    gl_nodes = coal_kwargs.pop("gammainc_gl_nodes", None)
+    if gl_nodes is None:
+        gl_nodes = data.gammainc_gl_nodes
     body, grid_inputs = _make_coal_body(
         data,
         interpret,
@@ -704,7 +745,7 @@ def make_pallas_rainshaft_rhs_fn(
         coal_kwargs.pop("thr_newton_iters", 32),
         coal_kwargs.pop("thr_gammainc_iters", 128),
         coal_kwargs.pop("f2_exact", None),
-        gammainc_gl_nodes=coal_kwargs.pop("gammainc_gl_nodes", None),
+        gammainc_gl_nodes=gl_nodes,
     )
     if coal_kwargs:
         raise TypeError(f"unknown kwargs: {sorted(coal_kwargs)}")
@@ -742,7 +783,9 @@ def make_pallas_rainshaft_rhs_fn(
             out_ref[o, :] = row[0, :]
 
         # sedimentation flux rows (normalized units, denormalized per row)
-        flux_rows = _sedi_flux_rows(spec, params, vel_n, dtype)
+        flux_rows = _sedi_flux_rows(
+            spec, params, vel_n, dtype, fast_ratio=bool(gl_nodes)
+        )
         for o in range(n_tot):
             out_ref[n_tot + o, :] = (flux_rows[o] * mom_norms[o])[0, :]
 
@@ -804,6 +847,9 @@ def make_pallas_rainshaft_step_fn(
     inv_dz = 1.0 / float(dz)
     dt = float(dt)
 
+    gl_nodes = coal_kwargs.pop("gammainc_gl_nodes", None)
+    if gl_nodes is None:
+        gl_nodes = data.gammainc_gl_nodes
     body, grid_inputs = _make_coal_body(
         data,
         interpret,
@@ -813,7 +859,7 @@ def make_pallas_rainshaft_step_fn(
         coal_kwargs.pop("thr_newton_iters", 32),
         coal_kwargs.pop("thr_gammainc_iters", 128),
         coal_kwargs.pop("f2_exact", None),
-        gammainc_gl_nodes=coal_kwargs.pop("gammainc_gl_nodes", None),
+        gammainc_gl_nodes=gl_nodes,
     )
     if coal_kwargs:
         raise TypeError(f"unknown kwargs: {sorted(coal_kwargs)}")
@@ -848,7 +894,9 @@ def make_pallas_rainshaft_step_fn(
                 lo = r < eps
                 empty = lo if empty is None else (empty & lo)
             acc, params, _ = body(mom_rows, grid_refs)
-            flux_rows = _sedi_flux_rows(spec, params, vel_n, dtype)
+            flux_rows = _sedi_flux_rows(
+                spec, params, vel_n, dtype, fast_ratio=bool(gl_nodes)
+            )
             rows = []
             for o in range(n_tot):
                 coal = (

@@ -250,6 +250,71 @@ def test_pallas_matches_xla_moving_threshold(families):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
+def test_pallas_matches_xla_moving_threshold_fast_inverse():
+    """MovingThreshold at the proven-bound fast tier (gammainc_gl_nodes > 0
+    ⇒ in-kernel Halley/GL percentile inverse, VERDICT r3 #2): the Pallas
+    kernel and the XLA path run the SAME fast inversion arithmetic — tight
+    parity — and both stay within the pinned inverse bound of the
+    reference-parity (32-Newton × 128-iteration) moving path."""
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data_fast = build_coalescence_data(
+        spec, ker, (0.9, 1.0), norms=(1e6, 1e-9), moving=True,
+        f2_exact=True, gammainc_gl_nodes=12,
+    )
+    data_ref = build_coalescence_data(
+        spec, ker, (0.9, 1.0), norms=(1e6, 1e-9), moving=True, f2_exact=True
+    )
+    B = 64
+    rng = np.random.default_rng(23)
+    params = np.stack(
+        [np.stack([rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                   rng.uniform(0.5, 5.0, B)], -1) for _ in range(2)],
+        axis=1,
+    )
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    p = pd.params_from_moments(spec, mom)
+
+    xla_fast = np.asarray(get_coal_ints(data_fast, p))
+    got = np.asarray(
+        pc.make_pallas_coal_fn(data_fast, block_cols=64, interpret=True)(mom)
+    )
+    np.testing.assert_allclose(got, xla_fast, rtol=1e-9, atol=1e-12)
+
+    # fast vs reference-parity inversion: the 2e-5 threshold bound
+    # propagates through F2 at far below golden-gate tolerance
+    xla_ref = np.asarray(get_coal_ints(data_ref, p))
+    scale = np.abs(xla_ref).max(axis=0, keepdims=True)
+    rel = np.abs(xla_fast - xla_ref) / (np.abs(xla_ref) + 1e-6 * scale)
+    assert np.quantile(rel, 0.99) < 1e-3, np.quantile(rel, 0.99)
+
+
+def test_sedi_flux_fast_gamma_ratio_bound():
+    """The fast-tier sedimentation ladder (gamma_ratio base) stays within
+    1e-6 relative of the reference-parity lgamma-pair ladder."""
+    from cloudy_tpu.ops.pallas_coalescence import _sedi_flux_rows
+    from cloudy_tpu.sedimentation import normalized_velocity
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    B = 64
+    rng = np.random.default_rng(29)
+    vel_n = normalized_velocity(((50.0, 1.0 / 6.0),), (1e6, 1e-9))
+    params = [
+        tuple(
+            jnp.asarray(v[None], jnp.float64)
+            for v in (rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                      rng.uniform(0.02, 10.0, B))
+        )
+        for _ in range(2)
+    ]
+    ref = _sedi_flux_rows(spec, params, vel_n, jnp.float64, fast_ratio=False)
+    fast = _sedi_flux_rows(spec, params, vel_n, jnp.float64, fast_ratio=True)
+    for r, f in zip(ref, fast):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), rtol=1e-6
+        )
+
+
 def test_pallas_moving_threshold_gauss_rule_close():
     """MovingThreshold fast path: in-kernel per-column Gauss grid stays close
     to the reference-rule evaluation."""

@@ -104,6 +104,122 @@ def _op_counts(data, f2_exact, gauss_nodes, gammainc_iters):
     return alu, trans
 
 
+def _gl_gammainc_ops(n_nodes, with_gln):
+    """(alu, trans) of one special.gammainc_gl evaluation: window setup
+    (sqrt + ~10 alu), optional Lanczos lgamma (11 trans + 14 alu), per node
+    1 log + 1 exp + ~6 alu, final select/clip ~8 alu."""
+    trans = 2.0 * n_nodes + 1.0 + (0.0 if with_gln else 11.0)
+    alu = 6.0 * n_nodes + 18.0 + (0.0 if with_gln else 14.0)
+    return alu, trans
+
+
+def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
+    """Analytic per-LEVEL arithmetic-work model of the single-kernel whole
+    SSPRK33 step (ops/pallas_coalescence.make_pallas_rainshaft_step_fn) at
+    the PRODUCTION fast tier (f2_exact for gamma/exp modes, GL-`gl_nodes`
+    incomplete gamma with the gln dedup, gamma_ratio sedimentation base,
+    Halley/GL MovingThreshold inversion) — VERDICT r3 #1: the speed-of-light
+    accounting for the pod production kernel. Mirrors the kernel structure
+    term by term; returns ``(alu, trans)`` per level per step (3 RHS + RK).
+    Supported: gamma/exp/mono modes any mix; lognormal grid modes are NOT
+    modeled (no proven op count for the grid ladder) — raises ValueError.
+    """
+    from cloudy_tpu.spec import Family
+    from cloudy_tpu.ops.pallas_coalescence import _wb_nonzeros, _wf_nonzeros
+
+    spec, M = data.spec, data.M
+    gl = data.gammainc_gl_nodes
+    if not (data.f2_exact and gl):
+        raise ValueError("model covers the production fast tier only")
+    if Family.LOGNORMAL in spec.families:
+        raise ValueError("lognormal grid ladder not modeled")
+    n_tot = spec.n_tot
+
+    alu = 0.0
+    trans = 0.0
+
+    # ---- per-RHS terms ----------------------------------------------------
+    # clip negatives + normalize + empty mask (2 + 2 per row)
+    alu += 4.0 * n_tot
+    # closure inversion (_invert_rows)
+    for fam in spec.families:
+        if fam == Family.GAMMA:
+            alu += 14.0
+            trans += 3.0  # m1/m0, m2/m1, mean/denom (+ mean/k folded)
+        else:  # exp / mono
+            alu += 6.0
+            trans += 1.0
+    # diagnostic moment recurrence (M-1 orders x 2-3 ops)
+    alu += 3.0 * (M - 1) * spec.n_modes
+
+    # MovingThreshold per-column inversion (gamma: Halley/GL; exp/mono: 1
+    # log / free)
+    if data.moving:
+        for i in range(spec.n_modes - 1):
+            fam = spec.families[i]
+            if fam == Family.GAMMA:
+                # ndtri (~2 trans + 14 alu) + lgamma (11 + 14) + WH/x_small
+                # start (2 trans + 10 alu) + gln4 (1 log + 3 alu) +
+                # 3 iterations x [1 log + 1 exp + 3 div + GL(gln) + ~16 alu]
+                it_alu, it_trans = _gl_gammainc_ops(gl, with_gln=True)
+                trans += 2.0 + 11.0 + 2.0 + 1.0 + 3.0 * (5.0 + it_trans)
+                alu += 14.0 + 14.0 + 10.0 + 3.0 + 3.0 * (16.0 + it_alu)
+            elif fam == Family.EXPONENTIAL:
+                alu += 2.0
+            # mono: thr = p1, free
+
+    # F2 per thresholded mode: exact factorization + GL top (gln dedup)
+    def _thresholded(i):
+        if i >= spec.n_modes - 1:
+            return False
+        return data.moving or bool(np.isfinite(data.thresholds[i]))
+
+    for i in range(spec.n_modes):
+        if not _thresholded(i):
+            continue
+        fam = spec.families[i]
+        if fam == Family.MONODISPERSE:
+            alu += M * (M + 1) / 2 * 2.0  # closed-form where + mirror
+            continue
+        # lga01 Lanczos + x=T/θ + log_x + delta exp
+        trans += 11.0 + 1.0 + 1.0 + 1.0
+        alu += 14.0 + 4.0
+        # delta chain (2M-3 terms: div+2 alu) + prod + gln log
+        trans += (2 * M - 3) + 1.0
+        alu += (2 * M - 3) * 2.0 + (2 * M - 4)
+        # GL top with gln
+        a_, t_ = _gl_gammainc_ops(gl, with_gln=True)
+        alu += a_
+        trans += t_
+        # downward clips + pair products + clamp/where + mirror
+        alu += (2 * M - 2) * 2.0 + M * (M + 1) + 3.0 * M * (M + 1) / 2
+
+    # Q/R/S sparse FMA contraction
+    alu += 2.0 * (len(_wb_nonzeros(data)) + len(_wf_nonzeros(data)))
+
+    # sedimentation ladder (fast tier: gamma_ratio base)
+    for i, fam in enumerate(spec.families):
+        npm = spec.nprogmoms[i]
+        if fam == Family.GAMMA:
+            # logp1 + exp(e·logp1) + gamma_ratio (2 log + 1 exp + 5 div +
+            # ~23 alu) per velocity term
+            trans += n_vel * (1.0 + 1.0 + 8.0)
+            alu += n_vel * 25.0
+        else:  # exp / mono: logp1 + exp(e·logp1)
+            trans += n_vel * 2.0
+            alu += n_vel * 2.0
+        alu += n_vel * (npm - 1) * 3.0 + npm  # ladder + accumulate/negate
+
+    # coal out rows (empty where + denorm) + flux denorm + upwind stencil
+    # (roll + top mask + divergence fma)
+    alu += 2.0 * n_tot + 1.0 * n_tot + 6.0 * n_tot
+
+    # ---- 3 RHS per step + RK combinations --------------------------------
+    alu, trans = 3.0 * alu, 3.0 * trans
+    alu += 10.0 * n_tot  # u1 (2) + u2 (4) + out (4) per row
+    return alu, trans
+
+
 def _family_moments(families, B, seed=7):
     """Physically consistent random moments for any family mix (draw
     parameters, map to moments — as the parity tests do)."""

@@ -128,6 +128,31 @@ def main():
             "column_updates_per_s": E / sec,
             "level_updates_per_s": E * nz / sec,
         }
+        # speed-of-light accounting (VERDICT r3 #1): analytic per-level op
+        # model of the whole-step kernel → plain and slot-weighted VPU
+        # utilization + the SOL column rate the slot model implies
+        try:
+            from roofline import (
+                whole_step_op_counts, VPU_OPS_PER_S, TRANSCENDENTAL_SLOTS,
+            )
+
+            alu, trans = whole_step_op_counts(data, n_vel=len(config.vel),
+                                              nz=nz)
+            lvl = rec["level_updates_per_s"]
+            rec.update({
+                "ops_per_level_step": alu + trans,
+                "trans_per_level_step": trans,
+                "plain_ops_per_s": lvl * (alu + trans),
+                "slot_weighted_ops_per_s": lvl
+                * (alu + TRANSCENDENTAL_SLOTS * trans),
+                "vpu_utilization_plain": lvl * (alu + trans) / VPU_OPS_PER_S,
+                "vpu_utilization_slotweighted": lvl
+                * (alu + TRANSCENDENTAL_SLOTS * trans) / VPU_OPS_PER_S,
+                "sol_column_updates_per_s": VPU_OPS_PER_S
+                / (alu + TRANSCENDENTAL_SLOTS * trans) / nz,
+            })
+        except ValueError:
+            pass  # lognormal grid ladder: no proven op model
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
