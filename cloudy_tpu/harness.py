@@ -151,7 +151,7 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
     )
     nz = 32
     config = rs.RainshaftConfig(
-        spec=spec, nz=nz, zmax=3000.0, norms=norms, t_end=10.0, dt=1.0
+        spec=spec, nz=nz, zmax=3000.0, norms=norms, t_end=120.0, dt=1.0
     )
     mesh = make_mesh(("columns",))
     n_dev = len(mesh.devices.flat)
@@ -166,29 +166,40 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
         from cloudy_tpu.ops import pallas_coalescence as pc
         from cloudy_tpu.parallel.ensemble import ensemble_whole_step
 
-        # single-kernel whole SSPRK33 step — 2.48e7 column-updates/s per
-        # chip at this exact configuration (SCALING.json)
+        # single-kernel whole SSPRK33 step — the pod production path
+        # (SCALING.json single-chip record at this exact configuration)
         whole = pc.make_pallas_rainshaft_step_fn(
             data, config.vel, config.norms, nz=nz, dz=config.dz,
             dt=config.dt, block_cols=4096,
         )
-        step = jax.jit(ensemble_whole_step(whole, mesh))
+        step_fn = ensemble_whole_step(whole, mesh)
         state = jax.device_put(
             rs.to_soa(state_aos), NamedSharding(mesh, P(None, "columns"))
         )
     else:
         rhs = rs.make_rainshaft_rhs(config, data)
-        step = jax.jit(ensemble_rainshaft_step(rhs, config.dt, mesh))
+        step_fn = ensemble_rainshaft_step(rhs, config.dt, mesh)
         state = jax.device_put(state_aos, NamedSharding(mesh, P("columns")))
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(y, n):
+        # all n steps inside ONE executable (`fori_loop`, as
+        # tools/whole_step_1m.py does): the host dispatches once, not
+        # per-step through the ~30 ms tunnel RPC — the recorded wall time
+        # is the device rate, not dispatch overhead (VERDICT r3 #5)
+        return jax.lax.fori_loop(0, n, lambda _, yy: step_fn(yy), y)
+
     def run():
-        y = state
         n_steps = int(round(config.t_end / config.dt))
-        for _ in range(n_steps):
-            y = step(y)
+        y = chain(state, n_steps)
         if fused_soa:
             y = rs.from_soa(y, nz)
-        jax.block_until_ready(y)
+        # scalar readback: the axon runtime's block_until_ready does not
+        # actually wait (CLAUDE.md gotcha 2) — force completion so the
+        # caller's wall clock is honest
+        float(jnp.sum(y[..., 0, 0]))
         return jnp.arange(n_steps + 1.0), y[None]
 
     return {"spec": spec, "config": config, "run": run, "kind": "ensemble"}
@@ -219,6 +230,10 @@ def run_scenario(name: str, outdir: Optional[str] = None):
         report["finite"] = bool(jnp.all(jnp.isfinite(ys[-1])))
         report.update(metrics.conservation_report(sc["spec"], ys[-1]))
         report["n_columns"] = int(np.prod(ys[-1].shape[:-2]))
+        cfg = sc["config"]
+        n_steps = int(round(cfg.t_end / cfg.dt))
+        report["n_steps"] = n_steps
+        report["column_updates_per_s"] = report["n_columns"] * n_steps / wall
         ts_np, ys_np = np.asarray(ts), None
     else:
         ts_np, ys_np = np.asarray(ts), np.asarray(ys)

@@ -208,6 +208,17 @@ def _make_coal_body(
     grid_modes = [
         i for i in thresholded_modes if spec.families[i] not in _gridless
     ]
+    # lognormal modes on the density-recentered window rule (the
+    # proven-bound fast path, coalescence._msh_matrix_lognormal_window):
+    # no static grid — one shared [2, G] base-node input, the per-column
+    # window built in-kernel from (μ, σ, T)
+    ln_window = data.lognorm_gl_nodes
+    window_modes = (
+        [i for i in grid_modes if spec.families[i] == Family.LOGNORMAL]
+        if ln_window
+        else []
+    )
+    grid_modes = [i for i in grid_modes if i not in window_modes]
 
     # static quadrature inputs — passed as kernel INPUTS (Pallas forbids
     # captured array constants).
@@ -231,6 +242,11 @@ def _make_coal_body(
     elif quad_rule == "gauss" and grid_modes:
         u_np, wu_np = np.polynomial.legendre.leggauss(gauss_nodes)
         grid_inputs.append(np.stack([u_np, wu_np]))
+    window_slot = None
+    if window_modes:
+        v_np, wv_np = np.polynomial.legendre.leggauss(ln_window)
+        window_slot = len(grid_inputs)
+        grid_inputs.append(np.stack([v_np, wv_np]))
 
     # static per-mode percentile constants for the moving path
     if data.moving:
@@ -474,6 +490,53 @@ def _make_coal_body(
                     f2i[(p, q)] = raw * n2
             return f2i
 
+        def _f2_lognormal_window(i, T, n, mu, sig):
+            """Density-recentered GL window rule on row tiles (mirrors
+            coalescence._msh_matrix_lognormal_window term for term — the
+            proven-bound lognormal fast path, 4.0e-4 worst case at 16
+            nodes)."""
+            from cloudy_tpu.coalescence import LOGNORM_WINDOW_SIGMA
+
+            G = ln_window
+            vg = grid_refs[window_slot][0, :].reshape(G, 1)
+            wg = grid_refs[window_slot][1, :].reshape(G, 1)
+            W = LOGNORM_WINDOW_SIGMA
+            logT = jnp.log(jnp.maximum(T, tiny))
+            lo = mu - W * sig
+            hi = jnp.minimum(logT, mu + M * sig**2 + W * sig)
+            half = jnp.maximum(hi - lo, 0.0) * 0.5
+            center = lo + half
+            u = center + half * vg  # [G, TB]
+            x = special.exp(u)
+            g0 = (
+                half
+                * wg
+                * special.exp(-((u - mu) ** 2) / (2.0 * sig**2))
+                / (sig * float(np.sqrt(2.0 * np.pi)))
+            )
+            rem = jnp.maximum(T - x, 0.0)
+            logrem = jnp.log(jnp.maximum(rem, tiny))
+            pms = []
+            for q in range(M):
+                z = (logrem - mu - q * sig**2) / (sig * float(np.sqrt(2.0)))
+                pm = special.exp(q * mu + 0.5 * q**2 * sig**2) * 0.5 * (
+                    1.0 + special.erf_approx(z)
+                )
+                pms.append(jnp.where(rem > 0.0, pm, 0.0))
+            n2 = n * n
+            f2i = {}
+            ypow = g0
+            for p in range(M):
+                if p > 0:
+                    ypow = ypow * x
+                for q in range(p, M):
+                    if p >= data.n_2d_ints[i] or q >= data.n_2d_ints[i]:
+                        continue
+                    f2i[(p, q)] = (
+                        jnp.sum(ypow * pms[q], axis=0, keepdims=True) * n2
+                    )
+            return f2i
+
         f2 = {}
         slot = 0  # grid-input slot (fixed: one per grid mode; moving+gauss: shared 0)
         for i in thresholded_modes:
@@ -501,6 +564,8 @@ def _make_coal_body(
             elif f2_exact and fam in (Family.GAMMA, Family.EXPONENTIAL):
                 kk = p2 if fam == Family.GAMMA else jnp.ones_like(p1)
                 f2i = _f2_gamma_exact(i, T, n, p1, kk)
+            elif i in window_modes:
+                f2i = _f2_lognormal_window(i, T, n, p1, p2)
             else:
                 if data.moving:
                     x, w, dx, G = _moving_grid(0 if quad_rule == "gauss" else None, T)

@@ -394,3 +394,69 @@ def test_coal_ints_exact_matches_quadrature_path():
     rel = np.abs(a - b) / (np.abs(a) + 1e-6 * scale)
     assert np.median(rel) < 1e-4, np.median(rel)
     assert np.quantile(rel, 0.99) < 5e-3, np.quantile(rel, 0.99)
+
+
+def test_lognormal_window_rule_proven_bound():
+    """The density-recentered GL window rule for lognormal F2
+    (coalescence._msh_matrix_lognormal_window, the proven-bound fast path —
+    VERDICT r3 #6) against adaptive scipy quadrature of the same integral:
+    worst-case error < 1e-3 of the clamp scale M_p·M_q over the reachable
+    (μ, σ, T) domain at 16 nodes (measured 4.0e-4 over a 200-case sweep;
+    this test pins a fixed 60-case subgrid). The reference-shaped log grid
+    it replaces measures ~0.87 worst case on the same domain at 12 Gauss
+    nodes (σ small → the bulk occupies a sliver of the [1e-5·T, T]
+    interval), documented here, not asserted."""
+    from scipy import integrate as si
+    from scipy import special as sps
+
+    from cloudy_tpu.coalescence import _msh_matrix_lognormal_window
+
+    M = 4
+
+    def truth(mu, sig, T, p, q):
+        c = mu + q * sig**2
+
+        def integrand(u):
+            x = np.exp(u)
+            rem = T - x
+            if rem <= 0:
+                return 0.0
+            z = (np.log(rem) - c) / (sig * np.sqrt(2))
+            pm = np.exp(q * mu + 0.5 * q * q * sig * sig) * 0.5 * (
+                1 + sps.erf(z)
+            )
+            return (
+                np.exp(p * u - (u - mu) ** 2 / (2 * sig**2))
+                / (sig * np.sqrt(2 * np.pi))
+                * pm
+            )
+
+        lo, hi = mu - 30 * sig, np.log(T)
+        pts = [mu + k * sig for k in (-5, -2, 0, 2, 5) if lo < mu + k * sig < hi]
+        return si.quad(integrand, lo, hi, points=pts, limit=400)
+
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for _ in range(60):
+        mu = rng.uniform(-8, 2.5)
+        sig = rng.uniform(0.15, 1.5)
+        if rng.random() < 0.5:
+            T = np.exp(rng.uniform(-3, 1.6))  # fixed normalized thresholds
+        else:
+            T = np.exp(mu + sig * rng.uniform(0.0, 2.6))  # moving percentiles
+        got = np.asarray(
+            _msh_matrix_lognormal_window(
+                jnp.asarray([1.0]), jnp.asarray([mu]), jnp.asarray([sig]),
+                jnp.asarray([T]), M, 16,
+            )
+        )[0]
+        for p in range(M):
+            for q in range(p, M):
+                sc = np.exp(p * mu + 0.5 * p * p * sig**2) * np.exp(
+                    q * mu + 0.5 * q * q * sig**2
+                )
+                t_, e_ = truth(mu, sig, T, p, q)
+                if e_ > 1e-10 * sc:
+                    continue  # truth unconverged — skip the point
+                worst = max(worst, abs(got[p, q] - t_) / sc)
+    assert worst < 1e-3, worst

@@ -289,6 +289,39 @@ def test_pallas_matches_xla_moving_threshold_fast_inverse():
     assert np.quantile(rel, 0.99) < 1e-3, np.quantile(rel, 0.99)
 
 
+@pytest.mark.parametrize("moving", [False, True])
+def test_pallas_matches_xla_lognormal_window_rule(moving):
+    """The lognormal density-recentered window rule (lognorm_gl_nodes > 0,
+    the proven-bound fast path — VERDICT r3 #6): Pallas in-kernel window
+    construction equals the XLA `_msh_matrix_lognormal_window` path, for
+    fixed AND moving (per-column percentile) thresholds."""
+    spec = SpectrumSpec((Family.LOGNORMAL, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    thr = (0.9, 1.0) if moving else (5e-10, np.inf)
+    data = build_coalescence_data(
+        spec, ker, thr, norms=(1e6, 1e-9), moving=moving,
+        f2_exact=True, gammainc_gl_nodes=12, lognorm_gl_nodes=16,
+    )
+    B = 64
+    rng = np.random.default_rng(37)
+    params = np.stack(
+        [
+            np.stack([rng.uniform(10, 200, B), rng.uniform(-2.0, 0.5, B),
+                      rng.uniform(0.3, 1.2, B)], -1),
+            np.stack([rng.uniform(10, 200, B), rng.uniform(0.05, 5.0, B),
+                      rng.uniform(0.5, 5.0, B)], -1),
+        ],
+        axis=1,
+    )
+    mom = jnp.asarray(np.asarray(pd.get_moments(spec, jnp.asarray(params))))
+    p = pd.params_from_moments(spec, mom)
+    want = np.asarray(get_coal_ints(data, p))
+    got = np.asarray(
+        pc.make_pallas_coal_fn(data, block_cols=64, interpret=True)(mom)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
 def test_sedi_flux_fast_gamma_ratio_bound():
     """The fast-tier sedimentation ladder (gamma_ratio base) stays within
     1e-6 relative of the reference-parity lgamma-pair ladder."""

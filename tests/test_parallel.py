@@ -118,7 +118,103 @@ def test_z_sharded_halo_matches_unsharded():
     np.testing.assert_allclose(out_sharded, out_ref, rtol=1e-12, atol=1e-20)
 
 
-def test_graft_entry_dryrun():
+def test_halo_independent_of_coalescence_structurally():
+    """Pins the overlap claim of halo.py:10-14 (VERDICT r3 #8): within one
+    RHS evaluation, NOTHING expensive depends on the received halo — the
+    ppermute result feeds only the linear stencil tail (concatenate /
+    subtract / divide / output), so XLA's latency-hiding scheduler is free
+    to overlap the ICI transfer with the coalescence compute. The test
+    taints the ppermute outputs in the traced jaxpr and walks forward: if a
+    future edit threads the halo through the closure or the coalescence
+    bilinear form (serializing the pod's only collective), transcendental /
+    call primitives appear downstream and this fails."""
+    spec, norms, data, config = _flagship(nz=16)
+    mesh = make_mesh(("columns", "z"), (4, 2))
+    rhs_local = make_z_sharded_rainshaft_rhs(
+        spec, data, config.dz, config.vel, norms, axis_name="z"
+    )
+
+    from jax.experimental.shard_map import shard_map
+    import functools
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("columns", "z"),),
+        out_specs=P("columns", "z"), check_rep=False,
+    )
+    def one_rhs(y):
+        return rhs_local(y, jnp.asarray(0.0, y.dtype))
+
+    state = jnp.asarray(_ic(config, 8))
+    jaxpr = jax.make_jaxpr(one_rhs)(state)
+
+    def _as_jaxpr(v):
+        # params hold raw Jaxpr (shard_map) or ClosedJaxpr (pjit/scan/...)
+        if hasattr(v, "eqns"):
+            return v
+        inner = getattr(v, "jaxpr", None)
+        return inner if inner is not None and hasattr(inner, "eqns") else None
+
+    def find_ppermute_jaxprs(jx, out):
+        has = any(e.primitive.name == "ppermute" for e in jx.eqns)
+        if has:
+            out.append(jx)
+        for e in jx.eqns:
+            for v in e.params.values():
+                vs = v if isinstance(v, (list, tuple)) else (v,)
+                for vv in vs:
+                    inner = _as_jaxpr(vv)
+                    if inner is not None:
+                        find_ppermute_jaxprs(inner, out)
+        return out
+
+    holders = find_ppermute_jaxprs(jaxpr.jaxpr, [])
+    assert holders, "no ppermute found — halo exchange disappeared"
+
+    allowed = {
+        "concatenate", "sub", "add", "mul", "div", "neg", "select_n",
+        "broadcast_in_dim", "reshape", "squeeze", "slice", "pad",
+        "convert_element_type", "transpose", "copy",
+    }
+    def _flat_prims(jx, out):
+        """All primitive names in a jaxpr, descending through call eqns
+        (jit/pjit wrappers around e.g. jnp.where are transparent)."""
+        for e in jx.eqns:
+            sub = [
+                _as_jaxpr(vv)
+                for v in e.params.values()
+                for vv in (v if isinstance(v, (list, tuple)) else (v,))
+            ]
+            sub = [s for s in sub if s is not None]
+            if sub and e.primitive.name in ("jit", "pjit", "closed_call",
+                                            "custom_jvp_call"):
+                for s in sub:
+                    _flat_prims(s, out)
+            else:
+                out.append(e.primitive.name)
+        return out
+
+    for jx in holders:
+        tainted = set()
+        downstream = []
+        for e in jx.eqns:
+            if e.primitive.name == "ppermute":
+                tainted.update(id(v) for v in e.outvars)
+                continue
+            if any(id(v) in tainted for v in e.invars):
+                tainted.update(id(v) for v in e.outvars)
+                if e.primitive.name in ("jit", "pjit", "closed_call",
+                                        "custom_jvp_call"):
+                    for v in e.params.values():
+                        for vv in (v if isinstance(v, (list, tuple)) else (v,)):
+                            s = _as_jaxpr(vv)
+                            if s is not None:
+                                _flat_prims(s, downstream)
+                else:
+                    downstream.append(e.primitive.name)
+        bad = [p for p in downstream if p not in allowed]
+        assert not bad, f"halo feeds expensive/opaque ops: {bad}"
+        # the tail is small — the stencil + output plumbing only
+        assert len(downstream) < 40, downstream
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))

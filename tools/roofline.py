@@ -131,8 +131,10 @@ def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
     gl = data.gammainc_gl_nodes
     if not (data.f2_exact and gl):
         raise ValueError("model covers the production fast tier only")
-    if Family.LOGNORMAL in spec.families:
-        raise ValueError("lognormal grid ladder not modeled")
+    if Family.LOGNORMAL in spec.families and not data.lognorm_gl_nodes:
+        raise ValueError(
+            "legacy lognormal grid ladder not modeled (use lognorm_gl_nodes)"
+        )
     n_tot = spec.n_tot
 
     alu = 0.0
@@ -146,11 +148,18 @@ def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
         if fam == Family.GAMMA:
             alu += 14.0
             trans += 3.0  # m1/m0, m2/m1, mean/denom (+ mean/k folded)
+        elif fam == Family.LOGNORMAL:
+            alu += 16.0
+            trans += 7.0  # pows (exp·log), log, sqrt, exp
         else:  # exp / mono
             alu += 6.0
             trans += 1.0
-    # diagnostic moment recurrence (M-1 orders x 2-3 ops)
+    # diagnostic moment recurrence (M-1 orders x 2-3 ops; lognormal pays an
+    # exp per order)
     alu += 3.0 * (M - 1) * spec.n_modes
+    trans += (M - 1) * sum(
+        1 for f in spec.families if f == Family.LOGNORMAL
+    )
 
     # MovingThreshold per-column inversion (gamma: Halley/GL; exp/mono: 1
     # log / free)
@@ -166,6 +175,9 @@ def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
                 alu += 14.0 + 14.0 + 10.0 + 3.0 + 3.0 * (16.0 + it_alu)
             elif fam == Family.EXPONENTIAL:
                 alu += 2.0
+            elif fam == Family.LOGNORMAL:
+                trans += 1.0  # exp(μ + σ z_p)
+                alu += 2.0
             # mono: thr = p1, free
 
     # F2 per thresholded mode: exact factorization + GL top (gln dedup)
@@ -180,6 +192,21 @@ def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
         fam = spec.families[i]
         if fam == Family.MONODISPERSE:
             alu += M * (M + 1) / 2 * 2.0  # closed-form where + mirror
+            continue
+        if fam == Family.LOGNORMAL:
+            # window rule (_f2_lognormal_window): window setup (~10 alu,
+            # 1 log for moving T) + per node [x exp + g0 exp + logrem log
+            # + ~12 alu] + per (node, q) erf_approx [1 exp + 1 div +
+            # ~10 alu] + M row exps (pm prefactors) + pair sums
+            # [M(M+1)/2 pairs x 2G] + clamp
+            Gw = data.lognorm_gl_nodes
+            trans += Gw * (3.0 + 2.0 * M) + M + (1.0 if data.moving else 0.0)
+            alu += (
+                10.0
+                + Gw * (12.0 + 10.0 * M)
+                + M * (M + 1) * Gw
+                + 3.0 * M * (M + 1) / 2
+            )
             continue
         # lga01 Lanczos + x=T/θ + log_x + delta exp
         trans += 11.0 + 1.0 + 1.0 + 1.0
@@ -205,6 +232,10 @@ def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
             # ~23 alu) per velocity term
             trans += n_vel * (1.0 + 1.0 + 8.0)
             alu += n_vel * 25.0
+        elif fam == Family.LOGNORMAL:
+            # direct closed form: one exp per (vel term, ladder order)
+            trans += n_vel * (1.0 + npm)
+            alu += n_vel * npm * 3.0
         else:  # exp / mono: logp1 + exp(e·logp1)
             trans += n_vel * 2.0
             alu += n_vel * 2.0
@@ -275,6 +306,10 @@ def run_families(records, timed_rate, B=1 << 19):
         ("lognorm-gamma-grid", (Family.LOGNORMAL, Family.GAMMA),
          (5e-10, np.inf), False, False,
          dict(quad_rule="gauss", gauss_nodes=12)),
+        # proven-bound lognormal fast path (VERDICT r3 #6): recentered
+        # GL-16 window (4.0e-4 worst case) + exact gamma F2
+        ("lognorm-gamma-window", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=16)),
         ("mono-gamma-closed", (Family.MONODISPERSE, Family.GAMMA),
          (5e-10, np.inf), False, True, {}),
         ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
@@ -286,10 +321,16 @@ def run_families(records, timed_rate, B=1 << 19):
          dict(quad_rule="gauss", gauss_nodes=12)),
     ]
     for name, fams, thr, moving, f2x, kw in cases:
+        kw = dict(kw)
+        data_kw = (
+            {"lognorm_gl_nodes": kw.pop("lognorm_gl_nodes")}
+            if "lognorm_gl_nodes" in kw
+            else {}
+        )
         spec = _spec(fams)
         data = build_coalescence_data(
             spec, ker, thr, norms=norms, moving=moving,
-            gammainc_iters=12, f2_exact=f2x, gammainc_gl_nodes=12,
+            gammainc_iters=12, f2_exact=f2x, gammainc_gl_nodes=12, **data_kw,
         )
         fn = pc.make_pallas_coal_fn(data, block_cols=4096, **kw)
         mom = jnp.asarray(_family_moments(fams, B).T, jnp.float32)

@@ -57,6 +57,10 @@ def main():
         ("lognorm-gamma-grid", (Family.LOGNORMAL, Family.GAMMA),
          (5e-10, np.inf), False, False,
          dict(quad_rule="gauss", gauss_nodes=12)),
+        # proven-bound lognormal fast path: density-recentered GL-16 window
+        # (4.0e-4 worst case) + exact gamma F2
+        ("lognorm-gamma-window", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=16)),
         ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
          (0.9, 1.0), True, True,
          dict(thr_newton_iters=8, thr_gammainc_iters=12)),
@@ -73,10 +77,16 @@ def main():
 
     records = []
     for name, fams, thr, moving, f2x, kw in cases:
+        kw = dict(kw)
+        data_kw = (
+            {"lognorm_gl_nodes": kw.pop("lognorm_gl_nodes")}
+            if "lognorm_gl_nodes" in kw
+            else {}
+        )
         spec = SpectrumSpec(fams)
         data = build_coalescence_data(
             spec, ker, thr, norms=norms, moving=moving,
-            gammainc_iters=12, f2_exact=f2x, gammainc_gl_nodes=12,
+            gammainc_iters=12, f2_exact=f2x, gammainc_gl_nodes=12, **data_kw,
         )
         config = rs.RainshaftConfig(
             spec=spec, nz=nz, zmax=3000.0, norms=norms, dt=1.0
