@@ -147,6 +147,10 @@ def make_rainshaft_rhs_fused(config: RainshaftConfig, fused_fn):
     """
     n_tot = config.spec.n_tot
     nz = config.nz
+    # multiply by the precomputed reciprocal, NOT divide: the whole-step
+    # Pallas kernel uses `* inv_dz`, and a 1-ulp x/dz-vs-x*(1/dz) difference
+    # flips the monodisperse F2 knife-edge (p1 < T/2) in parity tests
+    inv_dz = 1.0 / float(config.dz)
 
     def rhs(mom, t):
         del t
@@ -159,7 +163,7 @@ def make_rainshaft_rhs_fused(config: RainshaftConfig, fused_fn):
         j = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         top = (j % nz) == (nz - 1)
         f_up = jnp.where(top, 0.0, jnp.roll(flux, -1, axis=-1))
-        return coal - (f_up - flux) / config.dz
+        return coal - (f_up - flux) * inv_dz
 
     return rhs
 

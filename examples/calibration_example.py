@@ -12,6 +12,12 @@ from common import *
 import os
 
 import jax
+
+# calibration is a CPU-side workflow here; f64 keeps the EKI covariance
+# solves well-conditioned for the badly-scaled initial misfits (the
+# on-chip f32 calibration path is benched separately in
+# tools/calibration_bench.py with log-space observables)
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 from cloudy_tpu import calibrate, distributions as pd, stepper
@@ -86,3 +92,45 @@ print(f"gradient: s = {float(jnp.exp(res_g.params)):.4f} (truth {s_true}); "
       f"loss {float(res_g.loss_history[0]):.3g} -> "
       f"{float(res_g.loss_history[-1]):.3g}")
 print("done")
+
+# --- sparse EKI over ALL kernel-tensor coefficients (the over-complete
+# calibration the docstring of run_sparse_eki motivates): recover a pure
+# Golovin kernel — only c[0,1]/c[1,0] active — from noisy box trajectories,
+# with exact zeros on the inactive coefficients (hard prune) and a
+# debiasing polish on the survivors. Mirrors
+# tests/test_calibrate.py::test_sparse_eki_recovers_kernel_tensor_of_real_model.
+from cloudy_tpu.coalescence import make_kernel_diff_coal_fn
+
+kfn = make_kernel_diff_coal_fn(data)
+k_true_flat = jnp.asarray(data.kernels).reshape(-1)
+b_n = float(k_true_flat[1])
+
+
+def forward_tensor(kflat):
+    """LOG-moment observations (same multiscale treatment as `forward`
+    above — keeps the EKI covariance solve well-conditioned in f32)."""
+
+    def rhs(m, t):
+        del t
+        return kfn(pd.params_from_moments(spec, m), kflat.reshape(1, 1, 2, 2))
+
+    _, ys = stepper.integrate(rhs, mom0, 0.0, 0.5, 60, save_every=12)
+    safe = jnp.clip(jnp.nan_to_num(ys[1:], nan=1e12, posinf=1e12), 1e-12, 1e12)
+    return jnp.log(safe).reshape(-1)
+
+
+y_t = forward_tensor(k_true_flat)
+k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+y_t = y_t + 1e-3 * jax.random.normal(k1, y_t.shape)
+res_sp = calibrate.run_sparse_eki(
+    forward_tensor,
+    calibrate.ensemble_init(k2, jnp.zeros(4), b_n * jnp.ones(4), n_ens=40),
+    y_t, 1e-6, n_iters=5 if fast else 10, key=k3,
+    lambda_l1=0.05 * b_n, prune_below=0.2 * b_n,
+    polish_iters=5 if fast else 10,
+)
+m_sp = np.asarray(jnp.mean(res_sp.theta, axis=0)).reshape(2, 2)
+print(f"sparse EKI kernel tensor (truth c01=c10={b_n:.3g}, c00=c11=0):")
+print(f"  recovered c = {m_sp.tolist()}")
+print(f"  exact zeros: c00={m_sp[0,0]==0.0} c11={m_sp[1,1]==0.0}; "
+      f"active total {m_sp[0,1]+m_sp[1,0]:.4g} vs {2*b_n:.4g}")

@@ -115,7 +115,9 @@ def run_rainshaft_example(
     thresholds=None,
     nz=60,
     zmax=3000.0,
-    t_end=500.0,
+    # flagship-duration parity: the reference rainshaft examples integrate
+    # to t = 1000 s (rainshaft_single_gamma.jl:30, rainshaft_gamma_mixture.jl:32)
+    t_end=1000.0,
     dt=1.0,
     norms=NORMS,
 ):

