@@ -936,9 +936,12 @@ def make_pallas_rainshaft_step_fn(
         eps = jnp.finfo(dtype).eps
         TB = mom_ref.shape[1]
 
-        # top-of-column lane mask (z contiguous within the block)
+        # top-of-column lane mask (z contiguous within the block); explicit
+        # int32 rem — under jax_enable_x64 the Python-int `%` promotes
+        # through an int64 convert_element_type that Mosaic's lowering
+        # cannot handle (infinite recursion in its convert helper)
         j = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
-        top = (j % nz) == (nz - 1)
+        top = jax.lax.rem(j, jnp.int32(nz)) == jnp.int32(nz - 1)
 
         def shift_up(row):
             # roll left by 1 ≡ roll right by TB − 1 (pltpu.roll requires a

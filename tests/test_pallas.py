@@ -92,6 +92,7 @@ def test_pallas_degenerate_columns():
     np.testing.assert_array_equal(got[1:], 0.0)
 
 
+@pytest.mark.slow
 def test_pallas_gauss_rule_close_to_reference_rule():
     """The Gauss fast-path quadrature must agree with the reference-grid
     Simpson evaluation to well below the physics tolerance."""
@@ -167,6 +168,7 @@ def test_pallas_matches_xla_monodisperse_thresholded():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_three_mode_mixed():
     """exp + lognormal + gamma, two thresholded modes of different families
     in one kernel."""
@@ -209,8 +211,10 @@ def test_pallas_matches_xla_three_mode_mixed():
     "families",
     [
         (Family.GAMMA, Family.GAMMA),
-        (Family.EXPONENTIAL, Family.GAMMA),
-        (Family.LOGNORMAL, Family.GAMMA),
+        pytest.param((Family.EXPONENTIAL, Family.GAMMA),
+                     marks=pytest.mark.slow),
+        pytest.param((Family.LOGNORMAL, Family.GAMMA),
+                     marks=pytest.mark.slow),
     ],
 )
 def test_pallas_matches_xla_moving_threshold(families):
@@ -348,6 +352,7 @@ def test_sedi_flux_fast_gamma_ratio_bound():
         )
 
 
+@pytest.mark.slow
 def test_pallas_moving_threshold_gauss_rule_close():
     """MovingThreshold fast path: in-kernel per-column Gauss grid stays close
     to the reference-rule evaluation."""
@@ -375,7 +380,8 @@ def test_pallas_moving_threshold_gauss_rule_close():
     [
         (Family.GAMMA, Family.GAMMA),
         (Family.EXPONENTIAL, Family.GAMMA),
-        (Family.GAMMA, Family.LOGNORMAL, Family.GAMMA),
+        pytest.param((Family.GAMMA, Family.LOGNORMAL, Family.GAMMA),
+                     marks=pytest.mark.slow),
     ],
 )
 def test_pallas_f2_exact_matches_xla_exact(families):
@@ -396,6 +402,7 @@ def test_pallas_f2_exact_matches_xla_exact(families):
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_pallas_f2_exact_moving_threshold():
     """f2_exact composed with MovingThreshold (per-column percentile
     thresholds in-kernel, closed-form F2 at those thresholds)."""
@@ -432,7 +439,10 @@ def _rainshaft_state(spec, config, n_col, seed=23):
     return state
 
 
-@pytest.mark.parametrize("f2_exact", [False, True])
+@pytest.mark.parametrize(
+    "f2_exact",
+    [pytest.param(False, marks=pytest.mark.slow), True],
+)
 def test_fused_rhs_matches_xla_rainshaft(f2_exact):
     """The fully fused RHS kernel (clip + normalize + closure + coalescence +
     empty mask + sedimentation flux in ONE Pallas kernel) reproduces the XLA
@@ -457,6 +467,7 @@ def test_fused_rhs_matches_xla_rainshaft(f2_exact):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300)
 
 
+@pytest.mark.slow
 def test_fused_rhs_flux_rows_match_sedimentation():
     """The kernel's flux rows equal the XLA `get_sedimentation_flux` of the
     clipped, normalized state — every family's fractional-moment ladder."""
@@ -502,6 +513,7 @@ def test_fused_rhs_flux_rows_match_sedimentation():
     np.testing.assert_array_equal(got_flux[:5], 0.0)
 
 
+@pytest.mark.slow
 def test_fused_rhs_soa_step_matches_aos_step():
     """A full SSPRK33 step in the SoA layout (the production pod path,
     models.rainshaft.make_rainshaft_rhs_fused + stepper) equals the AoS
@@ -579,10 +591,13 @@ def test_pallas_lognormal_fast_special_functions():
     "families,moving",
     [
         ((Family.GAMMA, Family.GAMMA), False),
-        ((Family.LOGNORMAL, Family.GAMMA), False),
+        pytest.param((Family.LOGNORMAL, Family.GAMMA), False,
+                     marks=pytest.mark.slow),
         # VERDICT r3 #7: complete the whole-step family matrix
-        ((Family.EXPONENTIAL, Family.GAMMA), False),
-        ((Family.MONODISPERSE, Family.GAMMA), False),
+        pytest.param((Family.EXPONENTIAL, Family.GAMMA), False,
+                     marks=pytest.mark.slow),
+        pytest.param((Family.MONODISPERSE, Family.GAMMA), False,
+                     marks=pytest.mark.slow),
         # moving: 3 per-stage in-kernel Newton threshold inversions under
         # interpret mode — minutes of CPU; slow tier
         pytest.param((Family.GAMMA, Family.GAMMA), True, marks=pytest.mark.slow),

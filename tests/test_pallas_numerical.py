@@ -56,6 +56,7 @@ def test_matches_xla_same_nodes_two_gamma(kname):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_matches_xla_mixed_families():
     """exp + gamma + lognormal three-mode closure, Long kernel."""
     spec = SpectrumSpec((Family.EXPONENTIAL, Family.GAMMA, Family.LOGNORMAL))
@@ -74,6 +75,7 @@ def test_matches_xla_mixed_families():
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_default_nodes_accuracy_vs_dense():
     """The fast defaults (96, 48) track the XLA adaptive-grade node counts
     (256, 96) on the BASELINE Long-kernel scenario state — both kink-aware
@@ -121,6 +123,7 @@ def test_degenerate_and_empty_columns():
     np.testing.assert_allclose(got[:1], want, rtol=1e-8, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_f32_finite_and_close():
     spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
     mom64 = _moments(spec, 128, seed=7)
