@@ -945,11 +945,13 @@ def make_pallas_rainshaft_step_fn(
 
         def shift_up(row):
             # roll left by 1 ≡ roll right by TB − 1 (pltpu.roll requires a
-            # non-negative shift)
+            # non-negative shift); int32 explicitly — under jax_enable_x64
+            # the Python int becomes an i64 operand tpu.dynamic_rotate
+            # rejects
             rolled = (
                 jnp.roll(row, -1, axis=1)
                 if interpret
-                else pltpu.roll(row, TB - 1, axis=1)
+                else pltpu.roll(row, jnp.int32(TB - 1), axis=1)
             )
             return jnp.where(top, 0.0, rolled)
 

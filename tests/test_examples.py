@@ -53,7 +53,30 @@ def test_all_reference_examples_present():
     assert "calibration_example" in ALL_EXAMPLES
 
 
-@pytest.mark.parametrize("name", ALL_EXAMPLES)
+# family/kernel VARIANTS of configurations already covered by a default-tier
+# sibling (e.g. the 3/4-mode mixtures vs the 2-mode one, the hydro-kernel
+# twins, the exp/lognormal n_particles twins of the gamma one) run on the
+# slow tier; every physics class keeps one default-tier representative
+SLOW_EXAMPLES = {
+    "box_gamma_mixture_3modes",
+    "box_gamma_mixture_4modes",
+    "box_gamma_mixture_hydro",
+    "box_single_gamma_hydro",
+    "box_single_lognorm",
+    "n_particles_exp",
+    "n_particles_lognorm",
+    "condensation_exp_gamma",
+    "single_particle_exp",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_EXAMPLES else n
+        for n in ALL_EXAMPLES
+    ],
+)
 def test_example_runs(name):
     out = _run_example(name)
     if name in NO_NETCDF:
