@@ -148,3 +148,29 @@ def test_budget_golden_fast_tier():
     np.asarray(ys)
     t = time.perf_counter() - t0
     assert t < 45.0, f"golden fast-tier scenario took {t:.1f}s (budget 45s)"
+
+
+def test_fast_tier_rhs_compiles_loop_free():
+    """The round-4 fast-tier paths (exact-F2 + GL incomplete gamma, the
+    lognormal window rule, the Halley/GL moving-threshold inverse,
+    gamma_ratio) must also lower loop-free — everything is unrolled
+    straight-line code by construction."""
+    for fams, thr, moving, lnw in [
+        ((Family.GAMMA, Family.GAMMA), (0.9, 1.0), True, 0),
+        ((Family.LOGNORMAL, Family.GAMMA), (5e-10, np.inf), False, 16),
+    ]:
+        spec = SpectrumSpec(fams)
+        ker = K.CoalescenceTensor.from_function(
+            K.LinearKernelFunction(5.0), 1, 1e-6
+        )
+        data = build_coalescence_data(
+            spec, ker, thr, norms=(1e6, 1e-9), moving=moving,
+            gammainc_iters=12, f2_exact=True, gammainc_gl_nodes=12,
+            lognorm_gl_nodes=lnw,
+        )
+        rhs = lambda m: get_coal_ints(data, pd.params_from_moments(spec, m))
+        mom = jnp.asarray(
+            np.abs(np.random.default_rng(1).normal(1, 0.1, (16, 6)))
+            * np.array([1e2, 1e1, 2.0, 1e-1, 1e-2, 2e-2])
+        )
+        assert debug.count_hlo_ops(rhs, mom, opname="while") == 0, fams

@@ -194,3 +194,23 @@ def test_erf_approx_proven_bound():
     # f32 as well (the TPU production dtype)
     got32 = np.asarray(special.erf_approx(jnp.asarray(x, jnp.float32)), np.float64)
     assert np.abs(got32 - serf(x)).max() < 1e-6
+
+
+def test_new_special_fns_jit_and_grad():
+    """Round-4 special functions are traceable and differentiable (the
+    calibration adjoint runs through the fast tier)."""
+    g = jax.grad(lambda k: special.gamma_ratio(k, 1.0 / 6.0))(2.0)
+    # d/dk Γ(k+e)/Γ(k) = ratio · (ψ(k+e) − ψ(k))
+    want = np.exp(ss.gammaln(2.0 + 1 / 6) - ss.gammaln(2.0)) * (
+        ss.digamma(2.0 + 1 / 6) - ss.digamma(2.0)
+    )
+    np.testing.assert_allclose(float(g), want, rtol=1e-5)
+
+    f = jax.jit(lambda a, x: special.gammainc_gl_shift(a, x))
+    assert np.isfinite(float(f(0.3, 1.2)))
+    gi = jax.grad(lambda x: special.gammainc_gl_shift(0.7, x))(0.9)
+    want = 0.9 ** (0.7 - 1.0) * np.exp(-0.9) / ss.gamma(0.7)
+    np.testing.assert_allclose(float(gi), want, rtol=1e-4)
+
+    inv = jax.jit(special.gammaincinv_gl)
+    assert np.isfinite(float(inv(1.5, 0.9)))
