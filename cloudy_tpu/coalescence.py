@@ -164,6 +164,7 @@ def build_coalescence_data(
     f2_exact: bool = False,
     gammainc_gl_nodes: int = 0,
     lognorm_gl_nodes: int = 0,
+    fast_tier: bool = False,
 ) -> CoalescenceData:
     """Precompute everything static for `get_coal_ints`.
 
@@ -177,7 +178,18 @@ def build_coalescence_data(
       factorization F2(p,q) = M_p·M_q·P(2k+p+q, T/θ) (one incomplete gamma
       per column instead of a quadrature grid — the fast path; default False
       keeps the reference's Simpson semantics bit-for-bit).
+    - `fast_tier=True` is shorthand for the full proven-bound production
+      configuration: ``f2_exact=True, gammainc_gl_nodes=12,
+      gammainc_iters=12, lognorm_gl_nodes=16`` (each bound pinned in
+      tests/test_special.py / tests/test_coalescence.py; the benched and
+      golden-gated configuration). Explicit kwargs still win.
     """
+    if fast_tier:
+        f2_exact = True
+        gammainc_gl_nodes = gammainc_gl_nodes or 12
+        lognorm_gl_nodes = lognorm_gl_nodes or 16
+        if gammainc_iters == 128:
+            gammainc_iters = 12
     N = spec.n_modes
     if isinstance(kernel, CoalescenceTensor):
         kmat = [[kernel for _ in range(N)] for _ in range(N)]

@@ -146,8 +146,7 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
     # f64 reference-parity trajectories; tests/test_special.py pins the
     # 2.6e-7 worst-case gammainc bound)
     data = build_coalescence_data(
-        spec, ker, (5e-10, np.inf), norms=norms, gammainc_iters=12,
-        f2_exact=True, gammainc_gl_nodes=12,
+        spec, ker, (5e-10, np.inf), norms=norms, fast_tier=True
     )
     nz = 32
     config = rs.RainshaftConfig(

@@ -460,3 +460,20 @@ def test_lognormal_window_rule_proven_bound():
                     continue  # truth unconverged — skip the point
                 worst = max(worst, abs(got[p, q] - t_) / sc)
     assert worst < 1e-3, worst
+
+
+def test_fast_tier_shorthand():
+    """`fast_tier=True` selects the full proven-bound production set."""
+    spec = SpectrumSpec((Family.LOGNORMAL, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    d = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9), fast_tier=True
+    )
+    assert d.f2_exact and d.gammainc_gl_nodes == 12
+    assert d.lognorm_gl_nodes == 16 and d.gammainc_iters == 12
+    # explicit kwargs win
+    d2 = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=(1e6, 1e-9), fast_tier=True,
+        lognorm_gl_nodes=12,
+    )
+    assert d2.lognorm_gl_nodes == 12
