@@ -191,6 +191,25 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
         return jax.lax.fori_loop(0, n, lambda _, yy: step_fn(yy), y)
 
     n_steps = int(round(config.t_end / config.dt))
+    # pod-scale observability: pulling the full [n_cols, nz, n_tot] state
+    # to host is GBs through the tunnel, so the scan emits the ensemble
+    # column-MEAN moment profile [nz, n_tot] per save interval instead —
+    # tiny, and the mean over the sharded column axis is exactly the
+    # "diagnostics psum" collective the scaling docs describe
+    save_every = max(n_steps // 12, 1)
+    n_saves = n_steps // save_every
+
+    @functools.partial(jax.jit, static_argnames=("n_saves", "seg"))
+    def chain_diag(y, n_saves, seg):
+        def body(yy, _):
+            yy = jax.lax.fori_loop(0, seg, lambda _, s: step_fn(s), yy)
+            if fused_soa:
+                prof = yy.reshape(spec.n_tot, -1, nz).mean(axis=1).T
+            else:
+                prof = yy.mean(axis=0)
+            return yy, prof
+        return jax.lax.scan(body, y, None, length=n_saves)
+
     if fused_soa:
         # warm the chain executable and the state transfer OUTSIDE the
         # timed run: the first invocation pays the tunnel compile /
@@ -208,7 +227,21 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
         float(jnp.sum(y[..., 0, 0]))
         return jnp.arange(n_steps + 1.0), y[None]
 
-    return {"spec": spec, "config": config, "run": run, "kind": "ensemble"}
+    def run_diagnostics():
+        """Mean-profile time series [n_saves, nz, n_tot] (separate pass —
+        kept out of `run` so the recorded wall time stays the bare
+        production rate)."""
+        _, profs = chain_diag(state, n_saves, save_every)
+        ts = config.dt * save_every * jnp.arange(1.0, n_saves + 1.0)
+        return np.asarray(ts), np.asarray(profs)
+
+    return {
+        "spec": spec,
+        "config": config,
+        "run": run,
+        "kind": "ensemble",
+        "diagnostics": run_diagnostics,
+    }
 
 
 SCENARIOS: Dict[str, Callable] = {
@@ -249,6 +282,15 @@ def run_scenario(name: str, outdir: Optional[str] = None):
         )
     if outdir:
         os.makedirs(outdir, exist_ok=True)
+        if sc["kind"] == "ensemble" and "diagnostics" in sc:
+            # ensemble observability: mean column profiles over time as a
+            # rainshaft NetCDF (the full state is GBs; the mean is the
+            # per-level ensemble diagnostic a pod job actually monitors)
+            dts, dprofs = sc["diagnostics"]()
+            io.rainshaft_output(
+                os.path.join(outdir, f"{name}_mean_profile.nc"), sc["spec"],
+                dts, sc["config"].z, dprofs, sc["config"].norms,
+            )
         if sc["kind"] == "box":
             io.box_output(
                 os.path.join(outdir, f"{name}.nc"), sc["spec"], ts_np, ys_np,

@@ -59,7 +59,10 @@ def _loss_fn(spec, data, n_steps=20, dt=1.0, remat=False):
     return loss
 
 
-@pytest.mark.parametrize("remat", [False, True])
+@pytest.mark.parametrize(
+    "remat",
+    [pytest.param(False, marks=pytest.mark.slow), True],
+)
 def test_grad_matches_finite_differences(remat):
     spec, data, mom0 = _setup()
     loss = _loss_fn(spec, data, remat=remat)
@@ -92,6 +95,7 @@ def test_grad_matches_finite_differences(remat):
     assert abs(fd_s - g_s) / max(abs(fd_s), 1e-30) < 5e-5, (fd_s, g_s)
 
 
+@pytest.mark.slow
 def test_grad_remat_matches_no_remat():
     """`jax.checkpoint` rematerialization must not change the gradient."""
     spec, data, mom0 = _setup()

@@ -295,6 +295,7 @@ def test_f2_exact_matches_scipy():
         assert rel[significant].max() < 1e-10, rel[significant].max()
 
 
+@pytest.mark.slow
 def test_f2_exact_vs_reference_simpson():
     """The exact factorization vs the reference's log-grid Simpson
     evaluation, split by shape parameter:

@@ -40,3 +40,25 @@ def test_scenario_registry_complete():
         "rainshaft_128",
         "pod_ensemble",
     }
+
+
+def test_pod_ensemble_scenario_smoke_with_diagnostics(tmp_path):
+    """The pod scenario at toy scale on CPU: on-device fori_loop chain,
+    conservation report, and the mean-profile diagnostics NetCDF (the
+    pod-scale observability output — the full state is GBs on the real
+    workload, the per-level ensemble mean is what a pod job monitors)."""
+    sc = harness._scenario_pod_ensemble(n_columns=8)
+    # run through run_scenario for the full output path
+    import cloudy_tpu.harness as H
+
+    orig = H.SCENARIOS["pod_ensemble"]
+    H.SCENARIOS["pod_ensemble"] = lambda: sc
+    try:
+        ts, ys, rep = harness.run_scenario("pod_ensemble", outdir=str(tmp_path))
+    finally:
+        H.SCENARIOS["pod_ensemble"] = orig
+    assert rep["finite"]
+    assert rep["negative_fraction"] == 0.0
+    assert rep["n_columns"] == 8
+    nc = tmp_path / "pod_ensemble_mean_profile.nc"
+    assert nc.exists()
