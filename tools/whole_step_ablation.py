@@ -61,6 +61,10 @@ def main():
         # (4.0e-4 worst case) + exact gamma F2
         ("lognorm-gamma-window", (Family.LOGNORMAL, Family.GAMMA),
          (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=16)),
+        # the 12-node point of the node/accuracy tradeoff (1.3e-2 bound vs
+        # 4.0e-4 at 16 — see tests/test_coalescence.py)
+        ("lognorm-gamma-window12", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=12)),
         ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
          (0.9, 1.0), True, True,
          dict(thr_newton_iters=8, thr_gammainc_iters=12)),
