@@ -160,10 +160,10 @@ def build_coalescence_data(
     norms: Tuple[float, float] = (1.0, 1.0),
     moving: bool = False,
     n_points_max: Optional[int] = None,
-    gammainc_iters: int = 128,
+    gammainc_iters: Optional[int] = None,
     f2_exact: bool = False,
-    gammainc_gl_nodes: int = 0,
-    lognorm_gl_nodes: int = 0,
+    gammainc_gl_nodes: Optional[int] = None,
+    lognorm_gl_nodes: Optional[int] = None,
     fast_tier: bool = False,
 ) -> CoalescenceData:
     """Precompute everything static for `get_coal_ints`.
@@ -182,14 +182,20 @@ def build_coalescence_data(
       configuration: ``f2_exact=True, gammainc_gl_nodes=12,
       gammainc_iters=12, lognorm_gl_nodes=16`` (each bound pinned in
       tests/test_special.py / tests/test_coalescence.py; the benched and
-      golden-gated configuration). Explicit kwargs still win.
+      golden-gated configuration). Explicit kwargs still win: the three
+      numeric knobs default to the None sentinel, so ANY explicitly passed
+      value — including 0 (series/CF gammainc) or 128 — is honored under
+      fast_tier (ADVICE r4).
     """
     if fast_tier:
         f2_exact = True
-        gammainc_gl_nodes = gammainc_gl_nodes or 12
-        lognorm_gl_nodes = lognorm_gl_nodes or 16
-        if gammainc_iters == 128:
-            gammainc_iters = 12
+        gammainc_gl_nodes = 12 if gammainc_gl_nodes is None else gammainc_gl_nodes
+        lognorm_gl_nodes = 16 if lognorm_gl_nodes is None else lognorm_gl_nodes
+        gammainc_iters = 12 if gammainc_iters is None else gammainc_iters
+    else:
+        gammainc_gl_nodes = 0 if gammainc_gl_nodes is None else gammainc_gl_nodes
+        lognorm_gl_nodes = 0 if lognorm_gl_nodes is None else lognorm_gl_nodes
+        gammainc_iters = 128 if gammainc_iters is None else gammainc_iters
     N = spec.n_modes
     if isinstance(kernel, CoalescenceTensor):
         kmat = [[kernel for _ in range(N)] for _ in range(N)]

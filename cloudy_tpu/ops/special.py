@@ -456,19 +456,25 @@ def gammainc_gl_shift(a, x, n_nodes: int = 12, lga1=None, log_x=None,
 
 def gammaincinv_gl_impl(a, p, n_iter: int = 3, n_nodes: int = 12):
     """Fast x with P(a, x) = p: Wilson–Hilferty start + `n_iter` HALLEY
-    iterations with the shift-2 GL incomplete gamma inside — the
-    proven-bound replacement for `gammaincinv_impl`'s 32 damped-Newton ×
-    128-iteration series/CF defaults on the MovingThreshold production path
-    (VERDICT r3 #2).
+    iterations with the SHIFT-4 GL incomplete gamma inside (the
+    `gammainc_gl_shift` rule with its downward recurrence inlined so the
+    hoisted ``gln4`` and the derivative term are shared) — the proven-bound
+    replacement for `gammaincinv_impl`'s 32 damped-Newton × 128-iteration
+    series/CF defaults on the MovingThreshold production path (VERDICT r3
+    #2).
 
-    Why it converges in 3 iterations: the WH start is good to ~1e-2
-    relative over the reachable domain (k ∈ (eps, 10], central
+    Why it converges in 3 iterations: the WH/small-x start is good to
+    ~1e-2 relative over the reachable domain (k ∈ (eps, 10], central
     percentiles); Halley is cubic (1e-2 → 1e-6 → inner floor), and the
-    inner GL error (≤ 5.1e-5 absolute in P, `gammainc_gl_shift2`) caps the
+    inner shift-4 GL error (< 5e-7 absolute in P, the
+    `gammainc_gl_shift` bound pinned in tests/test_special.py) caps the
     fixed point. Measured worst-case relative error vs scipy is pinned in
-    tests/test_special.py over k ∈ [0.05, 10] × p ∈ [0.05, 0.995]. The
-    Halley factor costs 2 divides on top of Newton (P''/P' = (a−1)/x − 1
-    is analytic) and roughly halves the iterations needed.
+    tests/test_special.py over the FULL production k-domain — down to the
+    f64 k-clip floor 2.2e-16: < 2e-5 on k ∈ [0.02, 10], < 5e-9 on
+    k < 0.02 wherever the true quantile is representable, and ≈ 0 (the
+    `tiny` clamp) where it underflows. The Halley factor costs 2 divides
+    on top of Newton (P''/P' = (a−1)/x − 1 is analytic) and roughly
+    halves the iterations needed.
 
     Cost: n_iter × (n_nodes (log+exp) + ~4 exp/log/div) + 1 lgamma +
     ndtri — ~100 transcendental-class ops at n_iter=3, n_nodes=12, vs ~330

@@ -215,6 +215,13 @@ def test_halo_independent_of_coalescence_structurally():
         assert not bad, f"halo feeds expensive/opaque ops: {bad}"
         # the tail is small — the stencil + output plumbing only
         assert len(downstream) < 40, downstream
+
+
+def test_graft_entry_dryrun():
+    """The driver's compile-check entry points: single-chip `entry()` jits
+    and runs, and `dryrun_multichip(8)` compiles + executes the sharded
+    production paths on the 8-device virtual mesh (ADVICE r4: keep this a
+    standalone, name-selectable test — not fused into an unrelated one)."""
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))

@@ -180,6 +180,40 @@ def test_gammaincinv_gl_proven_bound():
     assert rel32.max() < 2e-4
 
 
+def test_gammaincinv_gl_small_k_domain():
+    """ADVICE r4: the closure inversion clips k to (eps, 10], so production
+    columns reach k far below the 0.02 floor of the main sweep. Pin the
+    fast inverse down to the f64 k-clip floor: the small-x start
+    ``(p·Γ(a+1))^(1/a)`` is the EXACT leading-order inverse there, so f64
+    error collapses to < 5e-9 wherever the true quantile is representable,
+    and where scipy's quantile underflows to 0 the impl returns the `tiny`
+    clamp — physically a zero threshold, which is the right answer. In f32
+    the 1/a exponent amplifies log-argument rounding, so the band bound is
+    looser (measured worst 2.8e-3; pinned at 1e-2)."""
+    k = np.logspace(np.log10(2.3e-16), np.log10(0.02), 60)
+    p = np.array([0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.995])
+    K, P = np.meshgrid(k, p, indexing="ij")
+    ref = ss.gammaincinv(K, P)
+    got = np.asarray(special.gammaincinv_gl(jnp.asarray(K), jnp.asarray(P)))
+    rep = ref > 1e-300
+    assert np.abs(got[rep] / ref[rep] - 1.0).max() < 5e-9
+    # underflowed true quantile → the tiny clamp (effectively zero)
+    assert got[~rep].max() < 1e-300 * 2 or (~rep).sum() == 0
+
+    k32 = np.logspace(np.log10(1.2e-7), np.log10(0.02), 40)
+    K32, P32 = np.meshgrid(k32, p, indexing="ij")
+    ref32 = ss.gammaincinv(K32, P32)
+    got32 = np.asarray(
+        special.gammaincinv_gl(
+            jnp.asarray(K32, jnp.float32), jnp.asarray(P32, jnp.float32)
+        ),
+        np.float64,
+    )
+    m = ref32 > 1e-30
+    assert np.abs(got32[m] / ref32[m] - 1.0).max() < 1e-2
+    assert got32[~m].max() < 1e-30 if (~m).any() else True
+
+
 def test_erf_approx_proven_bound():
     """Rational erf (A&S 7.1.26): max absolute error ≤ 1.6e-7 vs scipy over
     the full real line (the lognormal fast path's special function — same
