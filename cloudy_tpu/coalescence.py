@@ -429,14 +429,14 @@ def _msh_matrix_lognormal(n, mu, sig, thr, M: int, n_points_max: int,
     tiny = jnp.finfo(dtype).tiny
     logx = jnp.log(jnp.maximum(x, tiny))
     fx = special.exp(-((logx - mu_) ** 2) / (2.0 * sig_**2)) / (
-        x * sig_ * np.sqrt(2.0 * np.pi)
+        x * sig_ * float(np.sqrt(2.0 * np.pi))
     )
     rem = jnp.maximum(thr[..., None] - x, 0.0)
     logrem = jnp.log(jnp.maximum(rem, tiny))
 
     q = jnp.arange(M, dtype=dtype)[:, None]  # [M, 1]
     z = (logrem[..., None, :] - mu_[..., None, :] - q * sig_[..., None, :] ** 2) / (
-        sig_[..., None, :] * np.sqrt(2.0)
+        sig_[..., None, :] * float(np.sqrt(2.0))
     )
     erf_z = (
         special.erf_approx(z) if erf_fast
@@ -491,6 +491,9 @@ def _msh_matrix_lognormal_window(n, mu, sig, thr, M: int, gl_nodes: int):
     dtype = mu.dtype
     tiny = jnp.finfo(dtype).tiny
     vg, wg = np.polynomial.legendre.leggauss(gl_nodes)
+    # cast the GL base nodes to the compute dtype: strong f64 numpy arrays
+    # would silently promote the whole window path under jax_enable_x64
+    vg, wg = jnp.asarray(vg, dtype), jnp.asarray(wg, dtype)
     W = LOGNORM_WINDOW_SIGMA
 
     lo = mu - W * sig  # [...]
@@ -508,14 +511,14 @@ def _msh_matrix_lognormal_window(n, mu, sig, thr, M: int, gl_nodes: int):
         half[..., None]
         * wg
         * special.exp(-((u - mu_) ** 2) / (2.0 * sig_**2))
-        / (sig_ * np.sqrt(2.0 * np.pi))
+        / (sig_ * float(np.sqrt(2.0 * np.pi)))
     )
 
     rem = jnp.maximum(thr[..., None] - x, 0.0)
     logrem = jnp.log(jnp.maximum(rem, tiny))
     q = jnp.arange(M, dtype=dtype)[:, None]  # [M, 1]
     z = (logrem[..., None, :] - mu_[..., None, :] - q * sig_[..., None, :] ** 2) / (
-        sig_[..., None, :] * np.sqrt(2.0)
+        sig_[..., None, :] * float(np.sqrt(2.0))
     )
     pm = special.exp(
         q * mu_[..., None, :] + 0.5 * q**2 * sig_[..., None, :] ** 2

@@ -9,6 +9,7 @@ in (SURVEY.md §5).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -119,16 +120,37 @@ def _scenario_rainshaft_128():
     }
 
 
-def _scenario_pod_ensemble(n_columns: int = 1 << 20):
+#: pod-scenario production variants (VERDICT r4 #2: every production kernel
+#: gets the pod treatment, not just fixed-threshold 2-gamma). Each entry:
+#: (families, thresholds, moving, extra build_coalescence_data kwargs).
+POD_VARIANTS = {
+    "fixed2gamma": (
+        (Family.GAMMA, Family.GAMMA), (5e-10, np.inf), False, {},
+    ),
+    "moving": (
+        (Family.GAMMA, Family.GAMMA), (0.9, 1.0), True, {},
+    ),
+    "lognorm": (
+        (Family.LOGNORMAL, Family.GAMMA), (5e-10, np.inf), False,
+        {"lognorm_gl_nodes": 16},
+    ),
+}
+
+
+def _scenario_pod_ensemble(n_columns: int = 1 << 20, variant: str = "fixed2gamma"):
     """BASELINE configs[4]: column ensemble sharded over the mesh (run on
     however many devices are present; on a pod slice this spans hosts).
 
     On an accelerator backend this runs the round-3 production path: the
-    FULLY FUSED Pallas RHS kernel (coalescence f2_exact + GL-12 incomplete
-    gamma + sedimentation flux in one kernel) over the flat SoA layout,
-    sharded with `ensemble_rainshaft_step_soa` — 2.2e7 column-updates/s per
-    v5e chip (PROFILE.json). The XLA path on the AoS layout (same physics)
-    remains the CPU/portable fallback."""
+    single-kernel whole-SSPRK33-step Pallas kernel (closure → coalescence →
+    sedimentation → stencil → RK in one kernel) over the flat SoA layout,
+    sharded over a pure-columns mesh. The XLA path on the AoS layout (same
+    physics) remains the CPU/portable fallback. `variant` selects the
+    production kernel configuration (POD_VARIANTS): fixed-threshold
+    2-gamma (the flagship), MovingThreshold 2-gamma (percentile thresholds
+    inverted per column per stage, reference Coalescence.jl:152-185), or
+    lognormal+gamma on the recentered-window rule
+    (ParticleDistributions.jl:614-625)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cloudy_tpu.parallel.mesh import make_mesh
@@ -137,16 +159,19 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
         ensemble_rainshaft_step_soa,
     )
 
-    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    fams, thresholds, moving, data_kw = POD_VARIANTS[variant]
+    spec = SpectrumSpec(fams)
     norms = (1e6, 1e-9)
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
     # production fast path: exact F2 factorization + proven-bound GL
-    # incomplete gamma, at the accuracy-gated bench configuration
-    # (tests/test_golden.py gates this config at 1e-3 against the stored
-    # f64 reference-parity trajectories; tests/test_special.py pins the
-    # 2.6e-7 worst-case gammainc bound)
+    # incomplete gamma (+ Halley/GL percentile inverse for moving, the
+    # GL-16 window rule for lognormal), at the accuracy-gated bench
+    # configuration (tests/test_golden.py gates the flagship config at 1e-3
+    # against the stored f64 reference-parity trajectories;
+    # tests/test_special.py pins the special-function bounds)
     data = build_coalescence_data(
-        spec, ker, (5e-10, np.inf), norms=norms, fast_tier=True
+        spec, ker, thresholds, norms=norms, moving=moving, fast_tier=True,
+        **data_kw,
     )
     nz = 32
     config = rs.RainshaftConfig(
@@ -235,10 +260,55 @@ def _scenario_pod_ensemble(n_columns: int = 1 << 20):
         ts = config.dt * save_every * jnp.arange(1.0, n_saves + 1.0)
         return np.asarray(ts), np.asarray(profs)
 
+    state_sharding = (
+        NamedSharding(mesh, P(None, "columns"))
+        if fused_soa
+        else NamedSharding(mesh, P("columns"))
+    )
+
+    def run_checkpointed(ckpt_path, segment=None, max_segments=None):
+        """The pod chain at SEGMENT granularity with a checkpoint written
+        after every segment (VERDICT r4 #3: a pod job that dies at step
+        100 of 1000 must not restart from zero). Resumes from the newest
+        checkpoint under `ckpt_path` automatically; `max_segments` stops
+        after that many segments (simulated preemption — returns None).
+        The segment chain applies the same jitted `step_fn` the
+        uninterrupted `run()` chain applies, in the same order, so a
+        resumed run is BIT-IDENTICAL to an uninterrupted one
+        (tests/test_harness.py pins this). npz checkpoints: exact f32
+        round-trip, no serializer in the loop."""
+        from cloudy_tpu.utils import checkpoint as ck
+
+        seg = int(segment or save_every)
+        y, start = state, 0
+        s0 = ck.latest_step(ckpt_path)
+        if s0 is not None:
+            y, start = ck.load_checkpoint(ckpt_path, s0, like=state)
+            y = jax.device_put(jnp.asarray(y, state.dtype), state_sharding)
+        done, nseg = start, 0
+        while done < n_steps:
+            k = min(seg, n_steps - done)
+            y = chain(y, k)
+            # force completion before declaring the segment durable
+            # (axon's block_until_ready does not wait — CLAUDE.md gotcha 2)
+            float(jnp.sum(y[(0,) * (y.ndim - 1)][:1]))
+            done += k
+            ck.save_checkpoint(
+                ckpt_path, jax.device_get(y), done, use_orbax=False
+            )
+            nseg += 1
+            if max_segments is not None and nseg >= max_segments:
+                return None
+        if fused_soa:
+            y = rs.from_soa(y, nz)
+        float(jnp.sum(y[..., 0, 0]))
+        return jnp.arange(n_steps + 1.0), y[None]
+
     return {
         "spec": spec,
         "config": config,
         "run": run,
+        "run_checkpointed": run_checkpointed,
         "kind": "ensemble",
         "diagnostics": run_diagnostics,
     }
@@ -250,15 +320,30 @@ SCENARIOS: Dict[str, Callable] = {
     "box_long_numerical": _scenario_box_long_numerical,
     "rainshaft_128": _scenario_rainshaft_128,
     "pod_ensemble": _scenario_pod_ensemble,
+    "pod_ensemble_moving": functools.partial(
+        _scenario_pod_ensemble, variant="moving"
+    ),
+    "pod_ensemble_lognorm": functools.partial(
+        _scenario_pod_ensemble, variant="lognorm"
+    ),
 }
 
 
-def run_scenario(name: str, outdir: Optional[str] = None):
-    """Build, run, log and write outputs for one named scenario."""
+def run_scenario(
+    name: str, outdir: Optional[str] = None, ckpt_dir: Optional[str] = None
+):
+    """Build, run, log and write outputs for one named scenario. With
+    `ckpt_dir`, scenarios that support it (the pod ensembles) run at
+    segment granularity with a checkpoint per segment and resume from the
+    newest checkpoint automatically."""
     sc = SCENARIOS[name]()
     timer = metrics.StepTimer()
     t0 = time.perf_counter()
-    ts, ys = sc["run"]()
+    if ckpt_dir and "run_checkpointed" in sc:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ts, ys = sc["run_checkpointed"](os.path.join(ckpt_dir, name))
+    else:
+        ts, ys = sc["run"]()
     jax.block_until_ready(ys)
     wall = time.perf_counter() - t0
 
@@ -313,7 +398,13 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    names = sys.argv[1:] or ["box_single_gamma_golovin"]
+    argv = sys.argv[1:]
+    ckpt = None
+    if "--ckpt" in argv:
+        i = argv.index("--ckpt")
+        ckpt = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    names = argv or ["box_single_gamma_golovin"]
     for n in names:
-        _, _, rep = run_scenario(n, outdir="scenario_output")
+        _, _, rep = run_scenario(n, outdir="scenario_output", ckpt_dir=ckpt)
         print(rep)

@@ -39,6 +39,8 @@ def test_scenario_registry_complete():
         "box_long_numerical",
         "rainshaft_128",
         "pod_ensemble",
+        "pod_ensemble_moving",
+        "pod_ensemble_lognorm",
     }
 
 
@@ -62,3 +64,51 @@ def test_pod_ensemble_scenario_smoke_with_diagnostics(tmp_path):
     assert rep["n_columns"] == 8
     nc = tmp_path / "pod_ensemble_mean_profile.nc"
     assert nc.exists()
+
+
+@pytest.mark.parametrize("variant", ["moving", "lognorm"])
+def test_pod_ensemble_variant_scenarios_smoke(variant):
+    """VERDICT r4 #2: the MovingThreshold and lognormal production variants
+    get the same pod treatment as the flagship — toy-scale CPU smoke of the
+    registered scenarios' chains + conservation."""
+    import jax.numpy as jnp
+
+    from cloudy_tpu.utils import metrics
+
+    sc = harness._scenario_pod_ensemble(n_columns=8, variant=variant)
+    ts, ys = sc["run"]()
+    assert bool(jnp.all(jnp.isfinite(ys[-1])))
+    rep = metrics.conservation_report(sc["spec"], ys[-1])
+    assert rep["negative_fraction"] == 0.0
+
+
+def test_pod_checkpoint_resume_bit_identical(tmp_path):
+    """VERDICT r4 #3: the pod chain survives a restart at segment
+    granularity. Simulate preemption after 1 segment (run_checkpointed
+    returns None), resume — the resumed run restarts from the checkpoint,
+    not from zero, and the final state is BIT-IDENTICAL to an
+    uninterrupted segmented run AND to the plain un-checkpointed chain."""
+    import numpy as np
+
+    sc = harness._scenario_pod_ensemble(n_columns=8)
+
+    # uninterrupted checkpointed run (fresh dir)
+    d1 = tmp_path / "full"
+    d1.mkdir()
+    ts_full, ys_full = sc["run_checkpointed"](str(d1 / "pod"), segment=40)
+
+    # interrupted: die after one 40-step segment, then resume
+    d2 = tmp_path / "interrupted"
+    d2.mkdir()
+    out = sc["run_checkpointed"](str(d2 / "pod"), segment=40, max_segments=1)
+    assert out is None  # simulated preemption mid-job
+    from cloudy_tpu.utils import checkpoint as ck
+
+    assert ck.latest_step(str(d2 / "pod")) == 40  # durable progress exists
+    ts_res, ys_res = sc["run_checkpointed"](str(d2 / "pod"), segment=40)
+
+    np.testing.assert_array_equal(np.asarray(ys_res), np.asarray(ys_full))
+
+    # the un-checkpointed production chain reaches the same state
+    _, ys_plain = sc["run"]()
+    np.testing.assert_array_equal(np.asarray(ys_full), np.asarray(ys_plain))

@@ -113,17 +113,69 @@ def _gl_gammainc_ops(n_nodes, with_gln):
     return alu, trans
 
 
-def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
+OP_CLASSES = ("alu", "div", "exp", "log", "sqrt")
+
+
+def _cadd(acc, times=1.0, **kw):
+    for k, v in kw.items():
+        acc[k] = acc.get(k, 0.0) + times * float(v)
+
+
+def _lgamma_classes():
+    """Lanczos lgamma (ops/special.py:88-109): 8-term c/(z-1+i) series +
+    2 branch logs + the shift-branch log — both branches evaluated."""
+    return dict(div=8, log=3, alu=17)
+
+
+def _gammainc_gl_classes(G, with_gln=True):
+    """special.gammainc_gl: window setup (1 sqrt, ~12 alu incl. the two
+    endpoint ladders), per node [1 log + 1 exp + ~8 alu], tail select ~11
+    alu; optional Lanczos if the caller has no lnΓ(a)."""
+    c = dict(exp=G, log=G, sqrt=1, alu=8 * G + 23)
+    if not with_gln:
+        _cadd(c, **_lgamma_classes())
+    return c
+
+
+def _gamma_ratio_classes():
+    """special.gamma_ratio: Stirling difference (2 log, 2 div) + 3-term
+    front factor (3 div) + 1 exp + ~20 alu."""
+    return dict(div=5, log=2, exp=1, alu=20)
+
+
+def _erf_approx_classes():
+    """special.erf_approx (A&S 7.1.26): 1 div (t), 1 exp, 5-term poly +
+    sign handling ~15 alu."""
+    return dict(exp=1, div=1, alu=15)
+
+
+def _gammaincinv_gl_classes(G):
+    """special.gammaincinv_gl_impl at n_iter=3 (ops/special.py:457-519).
+    ndtri(p) and log(p) fold away (p is a compile-time percentile constant);
+    WH start (1 div, 1 sqrt), x_small (1 div, 1 exp), lgamma(a+1), gln4
+    (1 log), then 3 Halley iterations: log_x + d-exp + deriv/downward/step
+    divides (7) + inlined shift-4 GL top."""
+    c = dict(div=2, exp=1, log=1, sqrt=1, alu=18)
+    _cadd(c, **_lgamma_classes())
+    per_iter = dict(div=7, exp=1, log=1, alu=33)
+    _cadd(per_iter, **_gammainc_gl_classes(G, with_gln=True))
+    _cadd(c, times=3.0, **per_iter)
+    return c
+
+
+def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
     """Analytic per-LEVEL arithmetic-work model of the single-kernel whole
     SSPRK33 step (ops/pallas_coalescence.make_pallas_rainshaft_step_fn) at
     the PRODUCTION fast tier (f2_exact for gamma/exp modes, GL-`gl_nodes`
     incomplete gamma with the gln dedup, gamma_ratio sedimentation base,
-    Halley/GL MovingThreshold inversion) — VERDICT r3 #1: the speed-of-light
-    accounting for the pod production kernel. Mirrors the kernel structure
-    term by term; returns ``(alu, trans)`` per level per step (3 RHS + RK).
-    Supported: gamma/exp/mono modes any mix; lognormal grid modes are NOT
-    modeled (no proven op count for the grid ladder) — raises ValueError.
-    """
+    Halley/GL MovingThreshold inversion, recentered-window lognormal) —
+    VERDICT r4 #1: the op counts are split by HARDWARE CLASS (alu / div /
+    exp / log / sqrt) so the speed-of-light can be computed from MEASURED
+    per-class costs (tools/op_microbench.py) instead of an assumed flat
+    slot weight. Mirrors the kernel structure term by term; returns a dict
+    of per-level per-step counts (3 RHS + RK). Supported: gamma/exp/mono
+    any mix + window-rule lognormal; legacy lognormal grid modes raise
+    ValueError (no proven op count for the grid ladder)."""
     from cloudy_tpu.spec import Family
     from cloudy_tpu.ops.pallas_coalescence import _wb_nonzeros, _wf_nonzeros
 
@@ -136,118 +188,180 @@ def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
             "legacy lognormal grid ladder not modeled (use lognorm_gl_nodes)"
         )
     n_tot = spec.n_tot
-
-    alu = 0.0
-    trans = 0.0
+    c = {k: 0.0 for k in OP_CLASSES}
 
     # ---- per-RHS terms ----------------------------------------------------
-    # clip negatives + normalize + empty mask (2 + 2 per row)
-    alu += 4.0 * n_tot
-    # closure inversion (_invert_rows)
+    # clip negatives + normalize-mul + eps-compare + mask-and per row
+    _cadd(c, alu=4 * n_tot)
+    # closure inversion (_invert_rows, ops/pallas_numerical.py:79-118)
     for fam in spec.families:
         if fam == Family.GAMMA:
-            alu += 14.0
-            trans += 3.0  # m1/m0, m2/m1, mean/denom (+ mean/k folded)
+            # m1/m0, m2/m1, mean/denom, mean/k + valid/clip plumbing
+            _cadd(c, div=4, alu=13)
         elif fam == Family.LOGNORMAL:
-            alu += 16.0
-            trans += 7.0  # pows (exp·log), log, sqrt, exp
-        else:  # exp / mono
-            alu += 6.0
-            trans += 1.0
-    # diagnostic moment recurrence (M-1 orders x 2-3 ops; lognormal pays an
-    # exp per order)
-    alu += 3.0 * (M - 1) * spec.n_modes
-    trans += (M - 1) * sum(
-        1 for f in spec.families if f == Family.LOGNORMAL
-    )
+            # mu (log, pow-1.5 = exp·log, pow-0.5 = sqrt, div), sig2 (log,
+            # div), sigma (sqrt), n (exp, div)
+            _cadd(c, exp=2, log=3, sqrt=2, div=3, alu=15)
+        else:  # exp / mono: m1s/m0s
+            _cadd(c, div=1, alu=6)
+    # diagnostic moment recurrence, (M-1) orders per mode
+    for fam in spec.families:
+        if fam == Family.GAMMA:
+            _cadd(c, alu=3 * (M - 1))
+        elif fam == Family.EXPONENTIAL:
+            _cadd(c, alu=2 * (M - 1))
+        elif fam == Family.MONODISPERSE:
+            _cadd(c, alu=1 * (M - 1))
+        else:  # lognormal: exp per order
+            _cadd(c, exp=M - 1, alu=4 * (M - 1))
 
-    # MovingThreshold per-column inversion (gamma: Halley/GL; exp/mono: 1
-    # log / free)
-    if data.moving:
-        for i in range(spec.n_modes - 1):
-            fam = spec.families[i]
-            if fam == Family.GAMMA:
-                # ndtri (~2 trans + 14 alu) + lgamma (11 + 14) + WH/x_small
-                # start (2 trans + 10 alu) + gln4 (1 log + 3 alu) +
-                # 3 iterations x [1 log + 1 exp + 3 div + GL(gln) + ~16 alu]
-                it_alu, it_trans = _gl_gammainc_ops(gl, with_gln=True)
-                trans += 2.0 + 11.0 + 2.0 + 1.0 + 3.0 * (5.0 + it_trans)
-                alu += 14.0 + 14.0 + 10.0 + 3.0 + 3.0 * (16.0 + it_alu)
-            elif fam == Family.EXPONENTIAL:
-                alu += 2.0
-            elif fam == Family.LOGNORMAL:
-                trans += 1.0  # exp(μ + σ z_p)
-                alu += 2.0
-            # mono: thr = p1, free
-
-    # F2 per thresholded mode: exact factorization + GL top (gln dedup)
     def _thresholded(i):
         if i >= spec.n_modes - 1:
             return False
         return data.moving or bool(np.isfinite(data.thresholds[i]))
 
+    # MovingThreshold per-column inversion
+    if data.moving:
+        for i in range(spec.n_modes - 1):
+            fam = spec.families[i]
+            if fam == Family.GAMMA:
+                _cadd(c, **_gammaincinv_gl_classes(gl))
+                _cadd(c, alu=2)  # p1·inv + floor-max
+            elif fam == Family.EXPONENTIAL:
+                _cadd(c, alu=2)
+            elif fam == Family.LOGNORMAL:
+                _cadd(c, exp=1, alu=3)
+            else:  # mono: thr = p1
+                _cadd(c, alu=1)
+
+    # F2 per thresholded mode
     for i in range(spec.n_modes):
         if not _thresholded(i):
+            # mm fallback pairs consumed by the contraction (f2_lookup)
+            _cadd(c, alu=3 * M * (M + 1) / 2)
             continue
         fam = spec.families[i]
+        npairs = M * (M + 1) / 2
         if fam == Family.MONODISPERSE:
-            alu += M * (M + 1) / 2 * 2.0  # closed-form where + mirror
+            # closed form: θ<T/2 compare + per-pair where + mirror + clamp
+            _cadd(c, alu=2 + 5 * npairs)
             continue
         if fam == Family.LOGNORMAL:
-            # window rule (_f2_lognormal_window): window setup (~10 alu,
-            # 1 log for moving T) + per node [x exp + g0 exp + logrem log
-            # + ~12 alu] + per (node, q) erf_approx [1 exp + 1 div +
-            # ~10 alu] + M row exps (pm prefactors) + pair sums
-            # [M(M+1)/2 pairs x 2G] + clamp
+            # recentered GL window (_f2_lognormal_window)
             Gw = data.lognorm_gl_nodes
-            trans += Gw * (3.0 + 2.0 * M) + M + (1.0 if data.moving else 0.0)
-            alu += (
-                10.0
-                + Gw * (12.0 + 10.0 * M)
-                + M * (M + 1) * Gw
-                + 3.0 * M * (M + 1) / 2
-            )
+            # setup: logT + window arithmetic
+            _cadd(c, log=1, alu=10)
+            # per node: x-exp, g0-exp, logrem-log, g0 denominator div
+            _cadd(c, exp=2 * Gw, log=Gw, div=Gw, alu=11 * Gw)
+            # per (node, q): z (1 div, 3 alu) + erf_approx + pm combine (4)
+            eq = dict(div=1, alu=7)
+            _cadd(eq, **_erf_approx_classes())
+            _cadd(c, times=Gw * M, **eq)
+            # per-q row prefactor exps
+            _cadd(c, exp=M, alu=4 * M)
+            # ypow updates + pair reductions + n² muls
+            _cadd(c, alu=(M - 1) * Gw + npairs * (2 * Gw + 2))
+            # clamp + mirror
+            _cadd(c, alu=3 * npairs)
             continue
-        # lga01 Lanczos + x=T/θ + log_x + delta exp
-        trans += 11.0 + 1.0 + 1.0 + 1.0
-        alu += 14.0 + 4.0
-        # delta chain (2M-3 terms: div+2 alu) + prod + gln log
-        trans += (2 * M - 3) + 1.0
-        alu += (2 * M - 3) * 2.0 + (2 * M - 4)
-        # GL top with gln
-        a_, t_ = _gl_gammainc_ops(gl, with_gln=True)
-        alu += a_
-        trans += t_
+        # gamma / exponential exact factorization (_f2_gamma_exact).
+        # EXPONENTIAL modes have k ≡ 1: a0 is a compile-time constant, so
+        # the Lanczos chain folds away and the delta-chain divides
+        # strength-reduce to multiplies.
+        a_const = fam == Family.EXPONENTIAL
+        _cadd(c, div=1, log=1, alu=4)  # x = T/θ (clamped) + log_x
+        if not a_const:
+            _cadd(c, **_lgamma_classes())
+            _cadd(c, alu=2)
+        _cadd(c, exp=1, alu=5)  # delta0 + where
+        # delta chain, 2M-3 terms + prod
+        if a_const:
+            _cadd(c, alu=4 * (2 * M - 3))
+        else:
+            _cadd(c, div=2 * M - 3, alu=3 * (2 * M - 3))
+        _cadd(c, log=0 if a_const else 1, alu=1)  # gln for the GL top
+        gl_c = _gammainc_gl_classes(gl, with_gln=True)
+        if a_const:
+            gl_c = dict(gl_c)
+            gl_c["sqrt"] = 0  # window setup folds (a constant)
+            gl_c["alu"] = gl_c["alu"] - 8
+        _cadd(c, **gl_c)
         # downward clips + pair products + clamp/where + mirror
-        alu += (2 * M - 2) * 2.0 + M * (M + 1) + 3.0 * M * (M + 1) / 2
+        _cadd(c, alu=3 * (2 * M - 2) + M * (M + 1) + 3 * npairs)
 
-    # Q/R/S sparse FMA contraction
-    alu += 2.0 * (len(_wb_nonzeros(data)) + len(_wf_nonzeros(data)))
+    # Q/R/S sparse contraction (each nonzero: 1 mul + 1 fma-add = 2 alu)
+    _cadd(c, alu=2 * (len(_wb_nonzeros(data)) + len(_wf_nonzeros(data))))
 
     # sedimentation ladder (fast tier: gamma_ratio base)
     for i, fam in enumerate(spec.families):
         npm = spec.nprogmoms[i]
-        if fam == Family.GAMMA:
-            # logp1 + exp(e·logp1) + gamma_ratio (2 log + 1 exp + 5 div +
-            # ~23 alu) per velocity term
-            trans += n_vel * (1.0 + 1.0 + 8.0)
-            alu += n_vel * 25.0
-        elif fam == Family.LOGNORMAL:
-            # direct closed form: one exp per (vel term, ladder order)
-            trans += n_vel * (1.0 + npm)
-            alu += n_vel * npm * 3.0
-        else:  # exp / mono: logp1 + exp(e·logp1)
-            trans += n_vel * 2.0
-            alu += n_vel * 2.0
-        alu += n_vel * (npm - 1) * 3.0 + npm  # ladder + accumulate/negate
+        if fam == Family.LOGNORMAL:
+            # direct closed form per (vel term, ladder order)
+            _cadd(c, times=n_vel * npm, exp=1, alu=5)
+        else:
+            _cadd(c, log=1, alu=1)  # logp1 (once per mode)
+            if fam == Family.GAMMA:
+                base = dict(exp=1, alu=3)
+                _cadd(base, **_gamma_ratio_classes())
+            else:  # exp / mono: exp(e·logp1) (+ static Γ(1+e) for exp fam)
+                base = dict(exp=1, alu=3)
+            _cadd(c, times=n_vel, **base)
+            _cadd(c, times=n_vel * (npm - 1), alu=5)  # ladder + accumulate
+        _cadd(c, alu=npm)  # negate
 
     # coal out rows (empty where + denorm) + flux denorm + upwind stencil
-    # (roll + top mask + divergence fma)
-    alu += 2.0 * n_tot + 1.0 * n_tot + 6.0 * n_tot
+    _cadd(c, alu=3 * n_tot + 1 * n_tot + 6 * n_tot)
 
     # ---- 3 RHS per step + RK combinations --------------------------------
-    alu, trans = 3.0 * alu, 3.0 * trans
-    alu += 10.0 * n_tot  # u1 (2) + u2 (4) + out (4) per row
+    c = {k: 3.0 * v for k, v in c.items()}
+    c["alu"] += 10.0 * n_tot  # u1 (2) + u2 (4) + out (4) per row
+    return c
+
+
+def load_op_costs(path=None):
+    """Measured per-class costs (seconds per element-op) from
+    tools/op_microbench.py's ``op_costs`` record in ROOFLINE.json. Returns
+    {class: sec_per_elem_op} keyed by OP_CLASSES ('alu' uses the measured
+    mul cost), or None when no measurement exists yet."""
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        doc = json.load(f)
+    rec = doc.get("op_costs", {}).get("classes")
+    if not rec:
+        return None
+    # the model's 'alu' bucket mixes muls, adds/subs/compares and selects
+    # roughly evenly; average the three measured scalar-class costs
+    alu = (
+        rec["mul"]["sec_per_elem_op"]
+        + rec["add"]["sec_per_elem_op"]
+        + rec["sel"]["sec_per_elem_op"]
+    ) / 3.0
+    return {
+        "alu": alu,
+        "div": rec["div"]["sec_per_elem_op"],
+        "exp": rec["exp"]["sec_per_elem_op"],
+        "log": rec["log"]["sec_per_elem_op"],
+        "sqrt": rec["sqrt"]["sec_per_elem_op"],
+    }
+
+
+def sol_column_rate(classes, costs, nz):
+    """Calibrated speed-of-light column rate: 1 / (nz · Σ_class n_c · t_c)
+    with measured per-class seconds-per-element costs."""
+    t_level = sum(classes[k] * costs[k] for k in OP_CLASSES)
+    return 1.0 / (nz * t_level)
+
+
+def whole_step_op_counts(data, n_vel: int = 1, nz: int = 32):
+    """Back-compat wrapper of `whole_step_op_classes`: ``(alu, trans)``
+    with every non-alu class folded into `trans` (the legacy flat-slot
+    view; the calibrated path consumes the class dict directly)."""
+    c = whole_step_op_classes(data, n_vel=n_vel, nz=nz)
+    alu = c["alu"]
+    trans = sum(v for k, v in c.items() if k != "alu")
     return alu, trans
 
 

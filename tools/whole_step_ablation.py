@@ -142,29 +142,40 @@ def main():
             "column_updates_per_s": E / sec,
             "level_updates_per_s": E * nz / sec,
         }
-        # speed-of-light accounting (VERDICT r3 #1): analytic per-level op
-        # model of the whole-step kernel → plain and slot-weighted VPU
-        # utilization + the SOL column rate the slot model implies
+        # speed-of-light accounting (VERDICT r4 #1): per-hardware-class op
+        # model of the whole-step kernel × MEASURED per-class costs
+        # (tools/op_microbench.py) → the calibrated SOL column rate and
+        # utilization. The legacy flat-8-slot fields are kept for
+        # comparison against the round-4 rows.
         try:
             from roofline import (
-                whole_step_op_counts, VPU_OPS_PER_S, TRANSCENDENTAL_SLOTS,
+                whole_step_op_classes, load_op_costs, sol_column_rate,
+                VPU_OPS_PER_S, TRANSCENDENTAL_SLOTS,
             )
 
-            alu, trans = whole_step_op_counts(data, n_vel=len(config.vel),
-                                              nz=nz)
+            classes = whole_step_op_classes(data, n_vel=len(config.vel),
+                                            nz=nz)
+            alu = classes["alu"]
+            trans = sum(v for k, v in classes.items() if k != "alu")
             lvl = rec["level_updates_per_s"]
             rec.update({
+                "op_classes_per_level_step": {
+                    k: round(v, 1) for k, v in classes.items()
+                },
                 "ops_per_level_step": alu + trans,
                 "trans_per_level_step": trans,
                 "plain_ops_per_s": lvl * (alu + trans),
-                "slot_weighted_ops_per_s": lvl
-                * (alu + TRANSCENDENTAL_SLOTS * trans),
-                "vpu_utilization_plain": lvl * (alu + trans) / VPU_OPS_PER_S,
-                "vpu_utilization_slotweighted": lvl
+                "vpu_utilization_slotweighted_legacy": lvl
                 * (alu + TRANSCENDENTAL_SLOTS * trans) / VPU_OPS_PER_S,
-                "sol_column_updates_per_s": VPU_OPS_PER_S
-                / (alu + TRANSCENDENTAL_SLOTS * trans) / nz,
             })
+            costs = load_op_costs(args.out)
+            if costs is not None:
+                sol = sol_column_rate(classes, costs, nz)
+                rec.update({
+                    "sol_calibrated_column_updates_per_s": sol,
+                    "calibrated_utilization": rec["column_updates_per_s"]
+                    / sol,
+                })
         except ValueError:
             pass  # lognormal grid ladder: no proven op model
         records.append(rec)
