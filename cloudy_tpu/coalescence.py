@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from cloudy_tpu.spec import Family, SpectrumSpec
 from cloudy_tpu import distributions as pdists
-from cloudy_tpu.kernels import CoalescenceTensor, KernelFunction
+from cloudy_tpu.kernels import CoalescenceTensor
 from cloudy_tpu.ops import special
 from cloudy_tpu.ops.simpson import simpson_even_fast_weights_dynamic
 from cloudy_tpu.distributions import threshold_log_grid

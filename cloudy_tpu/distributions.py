@@ -19,7 +19,7 @@ exponential, gamma, lognormal, monodisperse.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

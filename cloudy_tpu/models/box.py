@@ -8,10 +8,9 @@ dataclass, a jit/scan time loop, and the Golovin analytic benchmark solution.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from cloudy_tpu.spec import SpectrumSpec, get_moments_normalizing_factors

@@ -11,10 +11,8 @@ digitized supersaturation/radius curves (tests/test_parcel.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from cloudy_tpu.spec import Family, SpectrumSpec

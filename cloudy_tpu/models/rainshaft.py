@@ -13,7 +13,7 @@ for free — that is the shape the pod-scale sharded workload uses
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

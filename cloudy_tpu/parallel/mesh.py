@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -11,7 +11,7 @@ same — the only cross-device traffic is the diagnostics psum).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 import jax

@@ -9,7 +9,6 @@ device — no host round-trips, no per-step dispatch. This is the BUILD-NEW
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -9,11 +9,10 @@ at segment granularity.
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def save_checkpoint(path: str, state, step: int, use_orbax: bool = True) -> None:

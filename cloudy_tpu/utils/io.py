@@ -11,7 +11,6 @@ the fast binary path for large ensembles.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ from typing import Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-from cloudy_tpu.spec import SpectrumSpec
 from cloudy_tpu import distributions as pdists
 
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from cloudy_tpu.spec import Family, SpectrumSpec  # noqa: F401 (re-export)
 from cloudy_tpu import kernels as K  # noqa: F401
-from cloudy_tpu import distributions as pdists
+from cloudy_tpu import distributions as pdists  # noqa: F401 (re-export)
 from cloudy_tpu.coalescence import build_coalescence_data
 from cloudy_tpu.models import box, rainshaft as rs
 from cloudy_tpu.utils import io, plotting

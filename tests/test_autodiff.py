@@ -20,7 +20,6 @@ from cloudy_tpu import kernels as K
 from cloudy_tpu import distributions as pd
 from cloudy_tpu import stepper
 from cloudy_tpu.coalescence import (
-    CoalescenceData,
     build_coalescence_data,
     get_coal_ints,
 )

@@ -10,7 +10,6 @@ anchor for the full normalize→invert→coalesce→denormalize→SSPRK33 loop.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from cloudy_tpu.spec import Family, SpectrumSpec
 from cloudy_tpu import kernels as K

@@ -340,3 +340,41 @@ def test_sparse_eki_recovers_kernel_tensor_of_real_model():
     np.testing.assert_allclose(total, 2.0 * b_n, rtol=0.05)
     # and the fit explains the data to the noise floor
     assert float(res.misfit_history[-1]) < 10.0, res.misfit_history[-1]
+
+
+def test_eki_through_production_whole_step_kernel():
+    """VERDICT r4 #5 wiring smoke: EKI whose per-member forward runs the
+    PRODUCTION whole-step Pallas rainshaft kernel (interpret mode, tiny
+    shapes) with the per-member kernel_scale operand. Pins that run_eki's
+    vmap folds members through the Pallas call, the loop jits, misfit
+    decreases, and the recovered scale moves toward the truth."""
+    import sys, os
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from calibration_bench import make_pod_forward
+    from cloudy_tpu import calibrate
+
+    forward, th_true = make_pod_forward(
+        J_cols=2, nz=8, n_steps=4, block_cols=16, interpret=True
+    )
+    y = forward(th_true)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+    key = jax.random.PRNGKey(0)
+    theta0 = calibrate.ensemble_init(
+        key, jnp.zeros(1, jnp.float32), jnp.asarray([0.5], jnp.float32),
+        n_ens=6,
+    )
+    res = jax.jit(
+        lambda th: calibrate.run_eki(
+            forward, th, y, jnp.asarray(1e-4, jnp.float32), n_iters=3,
+            key=jax.random.PRNGKey(1),
+        )
+    )(theta0)
+    assert bool(jnp.all(jnp.isfinite(res.theta)))
+    assert float(res.misfit_history[-1]) < float(res.misfit_history[0])
+    err0 = abs(float(jnp.mean(theta0[:, 0])) - float(th_true[0]))
+    err1 = abs(float(jnp.mean(res.theta[:, 0])) - float(th_true[0]))
+    assert err1 < err0

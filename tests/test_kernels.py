@@ -2,7 +2,6 @@
 test_KernelFunctions_correctness.jl / test_KernelTensors_correctness.jl."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from cloudy_tpu import kernels as K

@@ -7,7 +7,6 @@ import jax.numpy as jnp
 import pytest
 
 from cloudy_tpu.spec import Family, SpectrumSpec
-from cloudy_tpu import distributions as pd
 from cloudy_tpu import kernels as K
 from cloudy_tpu import coalescence_numerical as cn
 from cloudy_tpu.coalescence import build_coalescence_data, get_coal_ints

@@ -2,7 +2,6 @@
 CPU; the same kernel compiles via Mosaic on TPU — exercised by bench.py)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
@@ -654,3 +653,58 @@ def test_pallas_whole_step_matches_xla_orchestrated_step(families, moving):
     scale = np.abs(want).max(axis=1, keepdims=True)
     err = np.abs(got - want) / np.maximum(scale, 1e-300)
     assert err.max() < 1e-9, err.max()
+
+
+def test_whole_step_kernel_scale_equals_scaled_tensor():
+    """The `kernel_scale` operand of the whole-step kernel (the calibration
+    hook, VERDICT r4 #5): scaling the coalescence tendency by a per-lane
+    row `s` is EXACTLY equivalent to building the CoalescenceData from the
+    kernel tensor scaled by `s` — the Q/R/S assembly is linear in the
+    kernel tensor and the F2/msh matrices are kernel-independent. Also
+    pins s = 1 against the unscaled kernel (same graph modulo the extra
+    multiply)."""
+    from cloudy_tpu.models import rainshaft as rs
+
+    spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
+    ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5.0), 1, 1e-6)
+    s = 1.7
+    ker_s = K.CoalescenceTensor(s * ker.array)
+    norms = (1e6, 1e-9)
+    data = build_coalescence_data(
+        spec, ker, (5e-10, np.inf), norms=norms, fast_tier=True
+    )
+    data_s = build_coalescence_data(
+        spec, ker_s, (5e-10, np.inf), norms=norms, fast_tier=True
+    )
+    config = rs.RainshaftConfig(spec=spec, nz=16, zmax=3000.0, norms=norms)
+    state_aos = np.tile(
+        np.concatenate(
+            [
+                rs.initial_condition(config.z, [1e8, 1e-2, 2e-12]),
+                rs.initial_condition(config.z, [1e7, 1e-3, 2e-13]),
+            ],
+            axis=-1,
+        )[None],
+        (8, 1, 1),
+    ) * np.linspace(0.6, 1.4, 8)[:, None, None]
+    state = rs.to_soa(jnp.asarray(state_aos))
+    B = state.shape[1]
+
+    kw = dict(nz=config.nz, dz=config.dz, dt=1.0, block_cols=128,
+              interpret=True)
+    step_scaled = pc.make_pallas_rainshaft_step_fn(
+        data, config.vel, norms, kernel_scale=True, **kw
+    )
+    step_tensor = pc.make_pallas_rainshaft_step_fn(data_s, config.vel, norms,
+                                                   **kw)
+    step_base = pc.make_pallas_rainshaft_step_fn(data, config.vel, norms,
+                                                 **kw)
+
+    got = np.asarray(step_scaled(state, jnp.full((1, B), s, state.dtype)))
+    want = np.asarray(step_tensor(state))
+    scale = np.abs(want).max(axis=1, keepdims=True)
+    assert (np.abs(got - want) / np.maximum(scale, 1e-300)).max() < 1e-9
+
+    got1 = np.asarray(step_scaled(state, jnp.ones((1, B), state.dtype)))
+    base = np.asarray(step_base(state))
+    assert (np.abs(got1 - base) / np.maximum(scale, 1e-300)).max() < 1e-12

@@ -14,7 +14,7 @@ from cloudy_tpu import kernels as K
 from cloudy_tpu.coalescence import build_coalescence_data
 from cloudy_tpu.models import rainshaft as rs
 from cloudy_tpu.parallel.mesh import make_mesh
-from cloudy_tpu.parallel.ensemble import shard_columns, ensemble_rainshaft_step
+from cloudy_tpu.parallel.ensemble import ensemble_rainshaft_step
 from cloudy_tpu.parallel.halo import (
     make_z_sharded_rainshaft_rhs,
     z_sharded_step,

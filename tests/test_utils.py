@@ -1,6 +1,5 @@
 """IO / checkpoint / metrics / debug utilities."""
 
-import os
 
 import numpy as np
 import jax

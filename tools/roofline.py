@@ -113,7 +113,14 @@ def _gl_gammainc_ops(n_nodes, with_gln):
     return alu, trans
 
 
-OP_CLASSES = ("alu", "div", "exp", "log", "sqrt")
+OP_CLASSES = ("alu", "sel", "div", "exp", "log", "sqrt")
+#: whole special-function evaluations measured as units in-kernel
+#: (tools/op_microbench.py BUNDLES) — the compiler-transform-sensitive
+#: interiors the source-level class model cannot count faithfully
+OP_BUNDLES = (
+    "lgamma", "gammainc_gl12", "erf_approx", "gamma_ratio",
+    "gammaincinv_gl12",
+)
 
 
 def _cadd(acc, times=1.0, **kw):
@@ -123,15 +130,17 @@ def _cadd(acc, times=1.0, **kw):
 
 def _lgamma_classes():
     """Lanczos lgamma (ops/special.py:88-109): 8-term c/(z-1+i) series +
-    2 branch logs + the shift-branch log — both branches evaluated."""
-    return dict(div=8, log=3, alu=17)
+    2 branch logs + the shift-branch log; 2 shift selects (both branches
+    evaluated)."""
+    return dict(div=8, log=3, sel=2, alu=15)
 
 
 def _gammainc_gl_classes(G, with_gln=True):
     """special.gammainc_gl: window setup (1 sqrt, ~12 alu incl. the two
-    endpoint ladders), per node [1 log + 1 exp + ~8 alu], tail select ~11
-    alu; optional Lanczos if the caller has no lnΓ(a)."""
-    c = dict(exp=G, log=G, sqrt=1, alu=8 * G + 23)
+    endpoint ladders, 1 xu select), per node [1 log + 1 exp + ~8 alu],
+    tail combine (above/x>0 selects + clip ≈ 4 sel, ~7 alu); optional
+    Lanczos if the caller has no lnΓ(a)."""
+    c = dict(exp=G, log=G, sqrt=1, sel=5, alu=8 * G + 18)
     if not with_gln:
         _cadd(c, **_lgamma_classes())
     return c
@@ -144,38 +153,50 @@ def _gamma_ratio_classes():
 
 
 def _erf_approx_classes():
-    """special.erf_approx (A&S 7.1.26): 1 div (t), 1 exp, 5-term poly +
-    sign handling ~15 alu."""
-    return dict(exp=1, div=1, alu=15)
+    """special.erf_approx (A&S 7.1.26): 1 div (t), 1 exp, 5-term poly ~13
+    alu + sign handling ~2 selects."""
+    return dict(exp=1, div=1, sel=2, alu=13)
 
 
 def _gammaincinv_gl_classes(G):
     """special.gammaincinv_gl_impl at n_iter=3 (ops/special.py:457-519).
     ndtri(p) and log(p) fold away (p is a compile-time percentile constant);
-    WH start (1 div, 1 sqrt), x_small (1 div, 1 exp), lgamma(a+1), gln4
-    (1 log), then 3 Halley iterations: log_x + d-exp + deriv/downward/step
-    divides (7) + inlined shift-4 GL top."""
-    c = dict(div=2, exp=1, log=1, sqrt=1, alu=18)
+    WH start (1 div, 1 sqrt, 1 select), x_small (1 div, 1 exp), lgamma(a+1),
+    gln4 (1 log), then 3 Halley iterations: log_x + d-exp + d-select +
+    deriv/downward/step divides (7) + step/denom clips (~4 sel) + inlined
+    shift-4 GL top."""
+    c = dict(div=2, exp=1, log=1, sqrt=1, sel=1, alu=17)
     _cadd(c, **_lgamma_classes())
-    per_iter = dict(div=7, exp=1, log=1, alu=33)
+    per_iter = dict(div=7, exp=1, log=1, sel=5, alu=28)
     _cadd(per_iter, **_gammainc_gl_classes(G, with_gln=True))
     _cadd(c, times=3.0, **per_iter)
     return c
 
 
-def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
+def whole_step_op_classes(
+    data, n_vel: int = 1, nz: int = 32, use_bundles: bool = False
+):
     """Analytic per-LEVEL arithmetic-work model of the single-kernel whole
     SSPRK33 step (ops/pallas_coalescence.make_pallas_rainshaft_step_fn) at
     the PRODUCTION fast tier (f2_exact for gamma/exp modes, GL-`gl_nodes`
     incomplete gamma with the gln dedup, gamma_ratio sedimentation base,
     Halley/GL MovingThreshold inversion, recentered-window lognormal) —
-    VERDICT r4 #1: the op counts are split by HARDWARE CLASS (alu / div /
-    exp / log / sqrt) so the speed-of-light can be computed from MEASURED
-    per-class costs (tools/op_microbench.py) instead of an assumed flat
-    slot weight. Mirrors the kernel structure term by term; returns a dict
-    of per-level per-step counts (3 RHS + RK). Supported: gamma/exp/mono
-    any mix + window-rule lognormal; legacy lognormal grid modes raise
-    ValueError (no proven op count for the grid ladder)."""
+    VERDICT r4 #1: the op counts are split by HARDWARE CLASS (alu / sel /
+    div / exp / log / sqrt) so the speed-of-light can be computed from
+    MEASURED per-class costs (tools/op_microbench.py) instead of an
+    assumed flat slot weight. Mirrors the kernel structure term by term;
+    returns a dict of per-level per-step counts (3 RHS + RK). Supported:
+    gamma/exp/mono any mix + window-rule lognormal; legacy lognormal grid
+    modes raise ValueError (no proven op count for the grid ladder).
+
+    ``use_bundles=True`` (requires the production 12-node configuration)
+    counts whole special-function evaluations — lgamma, gammainc_gl12,
+    erf_approx, gamma_ratio, gammaincinv_gl12 — as single BUNDLE units
+    whose costs tools/op_microbench.py measures in-kernel, instead of
+    expanding their interiors into scalar classes. The interiors are
+    where compiler folding/CSE/pipelining defeat source-level counting
+    (the expanded model put measured rows on both sides of 1.0
+    utilization); measured bundles absorb those effects."""
     from cloudy_tpu.spec import Family
     from cloudy_tpu.ops.pallas_coalescence import _wb_nonzeros, _wf_nonzeros
 
@@ -188,22 +209,27 @@ def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
             "legacy lognormal grid ladder not modeled (use lognorm_gl_nodes)"
         )
     n_tot = spec.n_tot
+    if use_bundles and gl != 12:
+        raise ValueError(
+            "bundle costs are measured at the production 12-node "
+            "configuration; use use_bundles=False for other node counts"
+        )
     c = {k: 0.0 for k in OP_CLASSES}
 
     # ---- per-RHS terms ----------------------------------------------------
-    # clip negatives + normalize-mul + eps-compare + mask-and per row
+    # clip negatives (max) + normalize-mul + eps-compare + mask-and per row
     _cadd(c, alu=4 * n_tot)
     # closure inversion (_invert_rows, ops/pallas_numerical.py:79-118)
     for fam in spec.families:
         if fam == Family.GAMMA:
-            # m1/m0, m2/m1, mean/denom, mean/k + valid/clip plumbing
-            _cadd(c, div=4, alu=13)
+            # m1/m0, m2/m1, mean/denom, mean/k; valid/denom/n/θ/k selects
+            _cadd(c, div=4, sel=7, alu=7)
         elif fam == Family.LOGNORMAL:
             # mu (log, pow-1.5 = exp·log, pow-0.5 = sqrt, div), sig2 (log,
-            # div), sigma (sqrt), n (exp, div)
-            _cadd(c, exp=2, log=3, sqrt=2, div=3, alu=15)
-        else:  # exp / mono: m1s/m0s
-            _cadd(c, div=1, alu=6)
+            # div), sigma (sqrt), n (exp, div); valid selects
+            _cadd(c, exp=2, log=3, sqrt=2, div=3, sel=6, alu=10)
+        else:  # exp / mono: m1s/m0s; valid selects
+            _cadd(c, div=1, sel=4, alu=3)
     # diagnostic moment recurrence, (M-1) orders per mode
     for fam in spec.families:
         if fam == Family.GAMMA:
@@ -225,7 +251,10 @@ def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
         for i in range(spec.n_modes - 1):
             fam = spec.families[i]
             if fam == Family.GAMMA:
-                _cadd(c, **_gammaincinv_gl_classes(gl))
+                if use_bundles:
+                    _cadd(c, gammaincinv_gl12=1)
+                else:
+                    _cadd(c, **_gammaincinv_gl_classes(gl))
                 _cadd(c, alu=2)  # p1·inv + floor-max
             elif fam == Family.EXPONENTIAL:
                 _cadd(c, alu=2)
@@ -236,15 +265,16 @@ def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
 
     # F2 per thresholded mode
     for i in range(spec.n_modes):
+        npairs = M * (M + 1) / 2
         if not _thresholded(i):
-            # mm fallback pairs consumed by the contraction (f2_lookup)
-            _cadd(c, alu=3 * M * (M + 1) / 2)
+            # mm fallback pairs consumed by the contraction (f2_lookup):
+            # mul + eps-compare + select per pair
+            _cadd(c, sel=npairs, alu=2 * npairs)
             continue
         fam = spec.families[i]
-        npairs = M * (M + 1) / 2
         if fam == Family.MONODISPERSE:
-            # closed form: θ<T/2 compare + per-pair where + mirror + clamp
-            _cadd(c, alu=2 + 5 * npairs)
+            # closed form: θ<T/2 compare + per-pair select + mirror + clamp
+            _cadd(c, sel=2 * npairs, alu=2 + 3 * npairs)
             continue
         if fam == Family.LOGNORMAL:
             # recentered GL window (_f2_lognormal_window)
@@ -253,16 +283,20 @@ def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
             _cadd(c, log=1, alu=10)
             # per node: x-exp, g0-exp, logrem-log, g0 denominator div
             _cadd(c, exp=2 * Gw, log=Gw, div=Gw, alu=11 * Gw)
-            # per (node, q): z (1 div, 3 alu) + erf_approx + pm combine (4)
-            eq = dict(div=1, alu=7)
-            _cadd(eq, **_erf_approx_classes())
+            # per (node, q): z (1 div, 3 alu) + erf_approx + pm combine
+            # (3 alu + 1 rem>0 select)
+            eq = dict(div=1, sel=1, alu=6)
+            if use_bundles:
+                _cadd(eq, erf_approx=1)
+            else:
+                _cadd(eq, **_erf_approx_classes())
             _cadd(c, times=Gw * M, **eq)
             # per-q row prefactor exps
             _cadd(c, exp=M, alu=4 * M)
             # ypow updates + pair reductions + n² muls
             _cadd(c, alu=(M - 1) * Gw + npairs * (2 * Gw + 2))
-            # clamp + mirror
-            _cadd(c, alu=3 * npairs)
+            # clamp (min + eps-select) + mirror
+            _cadd(c, sel=npairs, alu=2 * npairs)
             continue
         # gamma / exponential exact factorization (_f2_gamma_exact).
         # EXPONENTIAL modes have k ≡ 1: a0 is a compile-time constant, so
@@ -271,23 +305,34 @@ def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
         a_const = fam == Family.EXPONENTIAL
         _cadd(c, div=1, log=1, alu=4)  # x = T/θ (clamped) + log_x
         if not a_const:
-            _cadd(c, **_lgamma_classes())
+            if use_bundles:
+                _cadd(c, lgamma=1)
+            else:
+                _cadd(c, **_lgamma_classes())
             _cadd(c, alu=2)
-        _cadd(c, exp=1, alu=5)  # delta0 + where
+        _cadd(c, exp=1, sel=1, alu=4)  # delta0 + x>0 select
         # delta chain, 2M-3 terms + prod
         if a_const:
             _cadd(c, alu=4 * (2 * M - 3))
         else:
             _cadd(c, div=2 * M - 3, alu=3 * (2 * M - 3))
         _cadd(c, log=0 if a_const else 1, alu=1)  # gln for the GL top
-        gl_c = _gammainc_gl_classes(gl, with_gln=True)
-        if a_const:
-            gl_c = dict(gl_c)
-            gl_c["sqrt"] = 0  # window setup folds (a constant)
-            gl_c["alu"] = gl_c["alu"] - 8
-        _cadd(c, **gl_c)
-        # downward clips + pair products + clamp/where + mirror
-        _cadd(c, alu=3 * (2 * M - 2) + M * (M + 1) + 3 * npairs)
+        if use_bundles:
+            _cadd(c, gammainc_gl12=1)
+        else:
+            gl_c = _gammainc_gl_classes(gl, with_gln=True)
+            if a_const:
+                gl_c = dict(gl_c)
+                gl_c["sqrt"] = 0  # window setup folds (a constant)
+                gl_c["alu"] = gl_c["alu"] - 8
+            _cadd(c, **gl_c)
+        # downward clips (add + clip≈1 sel + 1 alu) + pair products +
+        # clamp (min + eps-select) + mirror
+        _cadd(
+            c,
+            sel=(2 * M - 2) + npairs,
+            alu=2 * (2 * M - 2) + M * (M + 1) + 2 * npairs,
+        )
 
     # Q/R/S sparse contraction (each nonzero: 1 mul + 1 fma-add = 2 alu)
     _cadd(c, alu=2 * (len(_wb_nonzeros(data)) + len(_wf_nonzeros(data))))
@@ -302,15 +347,19 @@ def whole_step_op_classes(data, n_vel: int = 1, nz: int = 32):
             _cadd(c, log=1, alu=1)  # logp1 (once per mode)
             if fam == Family.GAMMA:
                 base = dict(exp=1, alu=3)
-                _cadd(base, **_gamma_ratio_classes())
+                if use_bundles:
+                    _cadd(base, gamma_ratio=1)
+                else:
+                    _cadd(base, **_gamma_ratio_classes())
             else:  # exp / mono: exp(e·logp1) (+ static Γ(1+e) for exp fam)
                 base = dict(exp=1, alu=3)
             _cadd(c, times=n_vel, **base)
             _cadd(c, times=n_vel * (npm - 1), alu=5)  # ladder + accumulate
         _cadd(c, alu=npm)  # negate
 
-    # coal out rows (empty where + denorm) + flux denorm + upwind stencil
-    _cadd(c, alu=3 * n_tot + 1 * n_tot + 6 * n_tot)
+    # coal out rows (empty select + denorm) + flux denorm + upwind stencil
+    # (roll + top select + divergence fma)
+    _cadd(c, sel=2 * n_tot, alu=2 * n_tot + 1 * n_tot + 4 * n_tot)
 
     # ---- 3 RHS per step + RK combinations --------------------------------
     c = {k: 3.0 * v for k, v in c.items()}
@@ -332,26 +381,29 @@ def load_op_costs(path=None):
     rec = doc.get("op_costs", {}).get("classes")
     if not rec:
         return None
-    # the model's 'alu' bucket mixes muls, adds/subs/compares and selects
-    # roughly evenly; average the three measured scalar-class costs
+    # the model's 'alu' bucket mixes muls and adds/subs/compares/min/max
+    # (selects are counted separately — measured ~3x a mul on this chip)
     alu = (
-        rec["mul"]["sec_per_elem_op"]
-        + rec["add"]["sec_per_elem_op"]
-        + rec["sel"]["sec_per_elem_op"]
-    ) / 3.0
-    return {
+        rec["mul"]["sec_per_elem_op"] + rec["add"]["sec_per_elem_op"]
+    ) / 2.0
+    out = {
         "alu": alu,
+        "sel": rec["sel"]["sec_per_elem_op"],
         "div": rec["div"]["sec_per_elem_op"],
         "exp": rec["exp"]["sec_per_elem_op"],
         "log": rec["log"]["sec_per_elem_op"],
         "sqrt": rec["sqrt"]["sec_per_elem_op"],
     }
+    for b in OP_BUNDLES:
+        if b in rec:
+            out[b] = rec[b]["sec_per_elem_op"]
+    return out
 
 
 def sol_column_rate(classes, costs, nz):
     """Calibrated speed-of-light column rate: 1 / (nz · Σ_class n_c · t_c)
-    with measured per-class seconds-per-element costs."""
-    t_level = sum(classes[k] * costs[k] for k in OP_CLASSES)
+    with measured per-class (and per-bundle) seconds-per-element costs."""
+    t_level = sum(n * costs[k] for k, n in classes.items() if n)
     return 1.0 / (nz * t_level)
 
 

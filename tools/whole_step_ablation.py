@@ -153,14 +153,15 @@ def main():
                 VPU_OPS_PER_S, TRANSCENDENTAL_SLOTS,
             )
 
-            classes = whole_step_op_classes(data, n_vel=len(config.vel),
-                                            nz=nz)
-            alu = classes["alu"]
-            trans = sum(v for k, v in classes.items() if k != "alu")
+            classes_exp = whole_step_op_classes(
+                data, n_vel=len(config.vel), nz=nz
+            )
+            alu = classes_exp["alu"]
+            trans = sum(v for k, v in classes_exp.items() if k != "alu")
             lvl = rec["level_updates_per_s"]
             rec.update({
                 "op_classes_per_level_step": {
-                    k: round(v, 1) for k, v in classes.items()
+                    k: round(v, 1) for k, v in classes_exp.items()
                 },
                 "ops_per_level_step": alu + trans,
                 "trans_per_level_step": trans,
@@ -170,8 +171,27 @@ def main():
             })
             costs = load_op_costs(args.out)
             if costs is not None:
-                sol = sol_column_rate(classes, costs, nz)
+                # primary: bundle model (measured special-function units);
+                # fallback to the expanded class model when the bundle
+                # costs are absent or the config is off-production
+                try:
+                    classes_b = whole_step_op_classes(
+                        data, n_vel=len(config.vel), nz=nz, use_bundles=True
+                    )
+                    assert all(
+                        k in costs for k, v in classes_b.items() if v
+                    )
+                except (ValueError, AssertionError):
+                    classes_b = None
+                model = classes_b if classes_b is not None else classes_exp
+                sol = sol_column_rate(model, costs, nz)
                 rec.update({
+                    "sol_model": "bundles" if classes_b is not None
+                    else "expanded-classes",
+                    "op_bundles_per_level_step": (
+                        {k: round(v, 1) for k, v in classes_b.items() if v}
+                        if classes_b is not None else None
+                    ),
                     "sol_calibrated_column_updates_per_s": sol,
                     "calibrated_utilization": rec["column_updates_per_s"]
                     / sol,
