@@ -22,16 +22,18 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 # balanced by observed runtime; each chunk stays well under the ~150-test
-# per-process cliff
+# per-process cliff. Ordered LONGEST-FIRST so the 2-worker pool packs well
+# (measured post-trim: ~390/400/310/260 s on the 2-core dev box → ~11.5
+# min wall at -j2).
 CHUNKS = [
-    ["test_box.py", "test_coalescence.py", "test_distributed.py",
-     "test_distributions.py", "test_autodiff.py", "test_calibrate.py"],
-    ["test_examples.py", "test_golden.py", "test_harness.py",
-     "test_kernels.py", "test_native.py", "test_numerical.py"],
-    ["test_pallas.py", "test_pallas_numerical.py"],
     ["test_parallel.py", "test_parcel.py", "test_perf_guards.py",
      "test_rainshaft.py", "test_sources.py", "test_spec.py",
      "test_special.py", "test_stepper.py", "test_utils.py"],
+    ["test_pallas.py", "test_pallas_numerical.py"],
+    ["test_examples.py", "test_golden.py", "test_harness.py",
+     "test_kernels.py", "test_native.py", "test_numerical.py"],
+    ["test_box.py", "test_coalescence.py", "test_distributed.py",
+     "test_distributions.py", "test_autodiff.py", "test_calibrate.py"],
 ]
 
 
@@ -54,14 +56,44 @@ def main() -> int:
         # new test files run in their own trailing chunk so nothing is
         # silently skipped
         CHUNKS.append(missing)
-    rc = 0
-    for chunk in CHUNKS:
+    # -jN / --jobs N: run chunks in N concurrent processes (they are
+    # already process-isolated; on the 2-core dev box and the 4-core CI
+    # runners 2 workers roughly halve the wall clock — VERDICT r4 #8's
+    # <12 min default-tier budget). Output is captured per chunk and
+    # printed whole on completion so logs do not interleave.
+    jobs = int(os.environ.get("SUITE_JOBS", "2"))
+    for i, a in enumerate(list(extra)):
+        if a == "--jobs" and i + 1 < len(extra):
+            jobs = int(extra[i + 1])
+            extra = extra[:i] + extra[i + 2:]
+            break
+        if a.startswith("-j") and a[2:].isdigit():
+            jobs = int(a[2:])
+            extra.remove(a)
+            break
+    if cov:
+        jobs = 1  # coverage appends to one data file; keep it serial
+
+    def run_chunk(chunk):
         paths = [os.path.join(HERE, f) for f in chunk]
-        r = subprocess.call(
-            [sys.executable, "-m", "pytest", "-q", *cov_args, *extra, *paths]
+        p = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *cov_args, *extra, *paths],
+            capture_output=True, text=True,
         )
-        if r == 5:  # pytest: no tests collected (e.g. -m slow on a chunk
-            r = 0   # with no slow tests) — not a failure
+        r = 0 if p.returncode == 5 else p.returncode
+        # 5 = no tests collected (e.g. -m slow on a slow-free chunk)
+        return chunk, r, p.stdout + p.stderr
+
+    rc = 0
+    if jobs <= 1:
+        results = [run_chunk(c) for c in CHUNKS]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            results = list(ex.map(run_chunk, CHUNKS))
+    for chunk, r, out in results:
+        print(out, flush=True)
         print(f"[run_suite] chunk {chunk[0]}.. -> exit {r}", flush=True)
         rc = rc or r
     if cov:

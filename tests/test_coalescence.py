@@ -147,7 +147,9 @@ def test_batched_columns_match_single():
     B independent calls."""
     spec = SpectrumSpec((Family.GAMMA, Family.EXPONENTIAL))
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5e-3), 1, 10.0)
-    data = build_coalescence_data(spec, ker, (0.5, np.inf))
+    # iteration budget irrelevant to the batching-identity property;
+    # 16 keeps the unrolled-gammainc compile 8x smaller (suite budget)
+    data = build_coalescence_data(spec, ker, (0.5, np.inf), gammainc_iters=16)
 
     rng = np.random.default_rng(1)
     B = 7
@@ -192,6 +194,7 @@ def test_empty_mode_gives_zero_tendency():
     np.testing.assert_array_equal(out, np.zeros(6))
 
 
+@pytest.mark.slow
 def test_gammainc_downward_recurrence_m_scaling():
     """The F2 matrix evaluates incomplete gammas at M consecutive orders via
     the downward recurrence P(a,x) = P(a+1,x) + x^a e^{−x}/Γ(a+1) — additions

@@ -58,6 +58,9 @@ def test_all_reference_examples_present():
 # twins, the exp/lognormal n_particles twins of the gamma one) run on the
 # slow tier; every physics class keeps one default-tier representative
 SLOW_EXAMPLES = {
+    "box_gamma_mixture_long",
+    "box_gamma_mix_moving",  # 44 s: the MovingThreshold physics is default-
+    # tier-covered by the parity + scenario tests; the example is slow-tier
     "box_gamma_mixture_3modes",
     "box_gamma_mixture_4modes",
     "box_gamma_mixture_hydro",

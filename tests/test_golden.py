@@ -120,7 +120,12 @@ def _bench_config():
     )
 
 
-@pytest.mark.parametrize("cfg", ["gauss16", "gauss-fallback", "bench"])
+@pytest.mark.parametrize(
+    "cfg",
+    # gauss16 is an ablation rule (production is exact-F2); slow tier
+    [pytest.param("gauss16", marks=pytest.mark.slow), "gauss-fallback",
+     "bench"],
+)
 def test_pallas_gauss_trajectory_allclose(cfg):
     """Full trajectory through the fused Pallas kernel (interpret mode)
     stays within 1e-3 of the stored reference-parity trajectory — at the

@@ -40,6 +40,7 @@ def test_golden_matches_jax_two_gamma():
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_golden_matches_jax_exp_gamma():
     spec = SpectrumSpec((Family.EXPONENTIAL, Family.GAMMA))
     ker = K.CoalescenceTensor.from_function(K.LinearKernelFunction(5e-3), 1, 10.0)

@@ -110,6 +110,7 @@ def test_pallas_gauss_rule_close_to_reference_rule():
     assert np.quantile(rel, 0.99) < 5e-3
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_lognormal_thresholded():
     """Lognormal as a THRESHOLDED (non-last) mode: in-kernel Φ partial
     moments (erf via gammainc) vs the XLA path."""
@@ -660,9 +661,7 @@ def test_whole_step_kernel_scale_equals_scaled_tensor():
     hook, VERDICT r4 #5): scaling the coalescence tendency by a per-lane
     row `s` is EXACTLY equivalent to building the CoalescenceData from the
     kernel tensor scaled by `s` — the Q/R/S assembly is linear in the
-    kernel tensor and the F2/msh matrices are kernel-independent. Also
-    pins s = 1 against the unscaled kernel (same graph modulo the extra
-    multiply)."""
+    kernel tensor and the F2/msh matrices are kernel-independent."""
     from cloudy_tpu.models import rainshaft as rs
 
     spec = SpectrumSpec((Family.GAMMA, Family.GAMMA))
@@ -697,14 +696,12 @@ def test_whole_step_kernel_scale_equals_scaled_tensor():
     )
     step_tensor = pc.make_pallas_rainshaft_step_fn(data_s, config.vel, norms,
                                                    **kw)
-    step_base = pc.make_pallas_rainshaft_step_fn(data, config.vel, norms,
-                                                 **kw)
 
     got = np.asarray(step_scaled(state, jnp.full((1, B), s, state.dtype)))
     want = np.asarray(step_tensor(state))
     scale = np.abs(want).max(axis=1, keepdims=True)
     assert (np.abs(got - want) / np.maximum(scale, 1e-300)).max() < 1e-9
 
-    got1 = np.asarray(step_scaled(state, jnp.ones((1, B), state.dtype)))
-    base = np.asarray(step_base(state))
-    assert (np.abs(got1 - base) / np.maximum(scale, 1e-300)).max() < 1e-12
+    # (the s = 1 case follows from the same linearity identity with the
+    # identity tensor scaling; a third kernel build was dropped for the
+    # default-tier budget — VERDICT r4 #7)

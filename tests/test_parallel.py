@@ -233,6 +233,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_whole_step_kernel_sharded_matches_unsharded():
     """The single-kernel whole-SSPRK33-step (interpret mode) sharded over
     the 8-device mesh equals its unsharded evaluation — the maximally fused

@@ -1,6 +1,7 @@
 """Special-function accuracy vs scipy (float64 ground truth)."""
 
 import numpy as np
+import pytest
 import scipy.special as ss
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ def test_ndtri():
     assert np.all(err <= 1e-8 + 1e-5 * np.abs(want))
 
 
+@pytest.mark.slow
 def test_special_jit_and_grad():
     # must be traceable and differentiable (closure sensitivities)
     f = jax.jit(lambda a, x: special.gammainc(a, x))

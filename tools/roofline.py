@@ -277,15 +277,23 @@ def whole_step_op_classes(
             _cadd(c, sel=2 * npairs, alu=2 + 3 * npairs)
             continue
         if fam == Family.LOGNORMAL:
-            # recentered GL window (_f2_lognormal_window)
-            Gw = data.lognorm_gl_nodes
-            # setup: logT + window arithmetic
-            _cadd(c, log=1, alu=10)
-            # per node: x-exp, g0-exp, logrem-log, g0 denominator div
-            _cadd(c, exp=2 * Gw, log=Gw, div=Gw, alu=11 * Gw)
-            # per (node, q): z (1 div, 3 alu) + erf_approx + pm combine
+            # recentered GL window (_f2_lognormal_window). Two hardware
+            # facts shape the counts (both established round 5):
+            # - [G, TB] tiles pad the sublane dim to a multiple of 8, so
+            #   grid-shaped work costs ceil(G/8)·8 rows (the measured
+            #   GL-12 == GL-16 null result);
+            # - divisions of a [G, TB] value by a broadcast [1, TB] row
+            #   strength-reduce to one row reciprocal + grid multiplies,
+            #   so the g0 and z divides are ROW divs, not grid divs.
+            Gw = 8 * ((data.lognorm_gl_nodes + 7) // 8)
+            # setup: logT + window arithmetic + (M+1) row reciprocals
+            _cadd(c, log=1, div=M + 1, alu=10)
+            # per node: x-exp, g0-exp, logrem-log, ~12 alu (incl. the
+            # reciprocal-multiplies that replaced the divides)
+            _cadd(c, exp=2 * Gw, log=Gw, alu=12 * Gw)
+            # per (node, q): z (3 alu) + erf_approx + pm combine
             # (3 alu + 1 rem>0 select)
-            eq = dict(div=1, sel=1, alu=6)
+            eq = dict(sel=1, alu=7)
             if use_bundles:
                 _cadd(eq, erf_approx=1)
             else:

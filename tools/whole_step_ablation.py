@@ -62,9 +62,18 @@ def main():
         ("lognorm-gamma-window", (Family.LOGNORMAL, Family.GAMMA),
          (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=16)),
         # the 12-node point of the node/accuracy tradeoff (1.3e-2 bound vs
-        # 4.0e-4 at 16 — see tests/test_coalescence.py)
+        # 4.0e-4 at 16 — see tests/test_coalescence.py). Measured equal to
+        # GL-16: [12, TB] tiles pad the sublane dim to 16 — the SOL model
+        # counts padded rows (round-5 calibration).
         ("lognorm-gamma-window12", (Family.LOGNORMAL, Family.GAMMA),
          (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=12)),
+        # in-situ model validation: padding-aligned node counts 8/24 give
+        # the measured marginal cost per 8-node slab, compared against the
+        # bundle model's prediction (docs/performance.md)
+        ("lognorm-gamma-window8", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=8)),
+        ("lognorm-gamma-window24", (Family.LOGNORMAL, Family.GAMMA),
+         (5e-10, np.inf), False, True, dict(lognorm_gl_nodes=24)),
         ("moving-2gamma-exact", (Family.GAMMA, Family.GAMMA),
          (0.9, 1.0), True, True,
          dict(thr_newton_iters=8, thr_gammainc_iters=12)),
