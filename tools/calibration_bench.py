@@ -75,6 +75,10 @@ def make_pod_forward(
             0, n_steps, lambda _, yy: step(yy, scale), state0
         )
         prof = y.reshape(spec.n_tot, J_cols, nz).mean(axis=1)  # [n_tot, nz]
+        # every 4th level: 48 observables keep the J-member sample
+        # covariance well-conditioned for the f32 Kalman solve (the full
+        # 192-observable vector at 1e-6 noise NaN'd the J=64 update)
+        prof = prof[:, ::4]
         safe = jnp.clip(
             jnp.nan_to_num(prof, nan=1e12, posinf=1e12), 1e-12, 1e12
         )
@@ -111,7 +115,7 @@ def pod_main():
         @partial(jax.jit, static_argnames=("n",))
         def chain(th, n, J=J):
             res = calibrate.run_eki(
-                forward, th, y, jnp.asarray(1e-6, jnp.float32), n_iters=n,
+                forward, th, y, jnp.asarray(1e-4, jnp.float32), n_iters=n,
                 key=jax.random.PRNGKey(1),
             )
             return jnp.sum(res.theta) + jnp.sum(res.misfit_history)
@@ -134,7 +138,7 @@ def pod_main():
         import cloudy_tpu.calibrate as cal
 
         res = jax.jit(lambda th: cal.run_eki(
-            forward, th, y, jnp.asarray(1e-6, jnp.float32), n_iters=8,
+            forward, th, y, jnp.asarray(1e-4, jnp.float32), n_iters=8,
             key=jax.random.PRNGKey(1),
         ))(theta0)
         s_hat = float(jnp.exp(jnp.mean(res.theta[:, 0])))
