@@ -375,8 +375,12 @@ def _msh_matrix_gamma_exact(n, theta, k, thr, M: int, iters: int,
     log_x = jnp.log(jnp.maximum(x, tiny))
     a0 = 2.0 * k
     # Poisson terms d_j = x^{2k+j} e^{−x}/Γ(2k+j+1), j = 0..2M−3, built
-    # upward multiplicatively from one exp/lgamma
-    lga01 = special.lgamma(a0 + 1.0)
+    # upward multiplicatively from one exp/lgamma. The GL fast tier uses
+    # the 1-divide Stirling-shift lgamma (< 4e-9 abs, far inside the
+    # path's 2.6e-7 gammainc bound; divides measured ~9 mul-slots on the
+    # v5e — round-5 calibration); the f64 parity tier keeps Lanczos.
+    lgam = special.lgamma_stirling if gl_nodes else special.lgamma
+    lga01 = lgam(a0 + 1.0)
     d = special.exp(a0 * log_x - x - lga01)
     d = jnp.where(x > 0.0, d, 0.0)
     ds = [d]

@@ -418,7 +418,13 @@ def _make_coal_body(
             x = jnp.minimum(T / theta, 1e6)
             log_x = jnp.log(jnp.maximum(x, tiny))
             a0 = 2.0 * k
-            lga01 = special.lgamma(a0 + 1.0)
+            # fast tier: 1-divide Stirling-shift lgamma (same switch as
+            # the XLA twin _msh_matrix_gamma_exact — parity preserved)
+            lga01 = (
+                special.lgamma_stirling(a0 + 1.0)
+                if gammainc_gl_nodes
+                else special.lgamma(a0 + 1.0)
+            )
             d = special.exp(a0 * log_x - x - lga01)
             d = jnp.where(x > 0.0, d, 0.0)
             ds = [d]

@@ -114,6 +114,44 @@ def gammafn(x):
     return exp(lgamma(x))
 
 
+def lgamma_stirling(x):
+    """log Γ(x) for x > 0 with ONE divide + 2 logs — the fast-tier
+    replacement for the Lanczos chain on the exact-F2 hot path.
+
+    The round-5 on-chip calibration (ROOFLINE.json `op_costs`) measured a
+    divide at ~9 mul-slots on this VPU, making Lanczos' 8-divide series
+    the single most expensive scalar block in the production kernel
+    (measured 31 ps/eval vs ~0.27 ps/mul). This form shifts z = x + 3 into
+    Stirling territory and removes the shift exactly:
+
+        lgamma(x) = [(z−½)ln z − z + ½ln2π + 1/(12z) − 1/(360z³)
+                     + 1/(1260z⁵) − 1/(1680z⁷)] − ln(x(x+1)(x+2)(x+3)),
+        z = x + 4
+
+    Absolute error < 4e-9 for x ∈ (0, 50] (the remainder of the truncated
+    Stirling tail at z ≥ 4; pinned vs scipy in tests/test_special.py) —
+    far inside the f32 production path's precision and the exact-F2
+    path's 2.6e-7 gammainc bound. The f64 reference-parity path keeps
+    `lgamma` (Lanczos, < 1e-13)."""
+    x = jnp.asarray(x)
+    tiny = jnp.finfo(x.dtype).tiny
+    z = x + 4.0
+    log_z = jnp.log(z)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    iz3 = iz * iz2
+    tail = (
+        iz * (1.0 / 12.0)
+        - iz3 * (1.0 / 360.0)
+        + iz3 * iz2 * (1.0 / 1260.0)
+        - iz3 * iz2 * iz2 * (1.0 / 1680.0)
+    )
+    half_log_2pi = 0.9189385332046727
+    lg_z = half_log_2pi + (z - 0.5) * log_z - z + tail
+    shift = jnp.maximum(x * (x + 1.0) * (x + 2.0) * (x + 3.0), tiny)
+    return lg_z - jnp.log(shift)
+
+
 def gamma_ratio(k, e):
     """Γ(k+e)/Γ(k) for k > 0, e ∈ [0, 1] — WITHOUT evaluating two lgammas.
 
@@ -146,8 +184,10 @@ def gamma_ratio(k, e):
         - (ize * ize2 - iz * iz2) * (1.0 / 360.0) \
         + (ize * ize2 * ize2 - iz * iz2 * iz2) * (1.0 / 1260.0)
     d = (ze - 0.5) * log_ze - (z - 0.5) * log_z - e + tail
-    front = (k / (k + e)) * ((k + 1.0) / (k + 1.0 + e)) * (
-        (k + 2.0) / (k + 2.0 + e)
+    # one divide of two triple products instead of three divides (divides
+    # measured ~9 mul-slots on this VPU — round-5 op calibration)
+    front = (k * (k + 1.0) * (k + 2.0)) / (
+        (k + e) * (k + 1.0 + e) * (k + 2.0 + e)
     )
     return exp(d) * front
 

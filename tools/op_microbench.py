@@ -103,6 +103,12 @@ BUNDLES = {
         {"lgamma": 1, "add": 1},
         lambda jnp, x: _special().lgamma(x + 2.2),
     ),
+    # round-5 divide optimization: the fast tier's 1-divide Stirling-shift
+    # lgamma (the production exact-F2 lga01 site)
+    "lgamma_stirling": (
+        {"lgamma_stirling": 1, "add": 1},
+        lambda jnp, x: _special().lgamma_stirling(x + 2.2),
+    ),
     "gammainc_gl12": (
         {"gammainc_gl12": 1, "mul": 1, "add": 1},
         lambda jnp, x: _special().gammainc_gl(
@@ -127,8 +133,8 @@ CHAINS.update(BUNDLES)
 
 CLASSES = (
     "mul", "add", "div", "exp", "log", "sqrt", "sel",
-    "lgamma", "gammainc_gl12", "erf_approx", "gamma_ratio",
-    "gammaincinv_gl12",
+    "lgamma", "lgamma_stirling", "gammainc_gl12", "erf_approx",
+    "gamma_ratio", "gammaincinv_gl12",
 )
 
 

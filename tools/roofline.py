@@ -118,8 +118,8 @@ OP_CLASSES = ("alu", "sel", "div", "exp", "log", "sqrt")
 #: (tools/op_microbench.py BUNDLES) — the compiler-transform-sensitive
 #: interiors the source-level class model cannot count faithfully
 OP_BUNDLES = (
-    "lgamma", "gammainc_gl12", "erf_approx", "gamma_ratio",
-    "gammaincinv_gl12",
+    "lgamma", "lgamma_stirling", "gammainc_gl12", "erf_approx",
+    "gamma_ratio", "gammaincinv_gl12",
 )
 
 
@@ -147,9 +147,15 @@ def _gammainc_gl_classes(G, with_gln=True):
 
 
 def _gamma_ratio_classes():
-    """special.gamma_ratio: Stirling difference (2 log, 2 div) + 3-term
-    front factor (3 div) + 1 exp + ~20 alu."""
-    return dict(div=5, log=2, exp=1, alu=20)
+    """special.gamma_ratio: Stirling difference (2 log, 2 div) + product
+    front factor (1 div — round-5 divide optimization) + 1 exp + ~24 alu."""
+    return dict(div=3, log=2, exp=1, alu=24)
+
+
+def _lgamma_stirling_classes():
+    """special.lgamma_stirling (round 5): shift-4 product (1 log, ~8 alu)
+    + Stirling at z = x+4 (1 log, 1 div, ~14 alu)."""
+    return dict(div=1, log=2, alu=22)
 
 
 def _erf_approx_classes():
@@ -313,10 +319,11 @@ def whole_step_op_classes(
         a_const = fam == Family.EXPONENTIAL
         _cadd(c, div=1, log=1, alu=4)  # x = T/θ (clamped) + log_x
         if not a_const:
+            # fast tier: the 1-divide Stirling-shift lgamma (round 5)
             if use_bundles:
-                _cadd(c, lgamma=1)
+                _cadd(c, lgamma_stirling=1)
             else:
-                _cadd(c, **_lgamma_classes())
+                _cadd(c, **_lgamma_stirling_classes())
             _cadd(c, alu=2)
         _cadd(c, exp=1, sel=1, alu=4)  # delta0 + x>0 select
         # delta chain, 2M-3 terms + prod
