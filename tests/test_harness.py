@@ -82,15 +82,17 @@ def test_pod_ensemble_variant_scenarios_smoke(variant):
     assert rep["negative_fraction"] == 0.0
 
 
-def test_pod_checkpoint_resume_bit_identical(tmp_path):
+@pytest.mark.parametrize("variant", ["fixed2gamma", "moving"])
+def test_pod_checkpoint_resume_bit_identical(tmp_path, variant):
     """VERDICT r4 #3: the pod chain survives a restart at segment
-    granularity. Simulate preemption after 1 segment (run_checkpointed
-    returns None), resume — the resumed run restarts from the checkpoint,
-    not from zero, and the final state is BIT-IDENTICAL to an
-    uninterrupted segmented run AND to the plain un-checkpointed chain."""
+    granularity — for the flagship AND a second production variant.
+    Simulate preemption after 1 segment (run_checkpointed returns None),
+    resume — the resumed run restarts from the checkpoint, not from zero,
+    and the final state is BIT-IDENTICAL to an uninterrupted segmented
+    run AND to the plain un-checkpointed chain."""
     import numpy as np
 
-    sc = harness._scenario_pod_ensemble(n_columns=8)
+    sc = harness._scenario_pod_ensemble(n_columns=8, variant=variant)
 
     # uninterrupted checkpointed run (fresh dir)
     d1 = tmp_path / "full"

@@ -9,10 +9,14 @@ VPU compute ceiling and the HBM bandwidth ceiling.
 
 The kernel is pure element-wise VPU work (no matmuls: the Q/R/S contraction
 is unrolled sparse FMAs on [1, TB] rows), so the relevant compute ceiling is
-the VPU, not the MXU: TPU v5e ~ 940 MHz x 8x128-lane vregs x 4 ALUs
-~ 3.9e12 f32 ops/s. Transcendentals (exp/log) and divides occupy the
-transcendental/slow path for multiple slots; we report a plain op count and
-a slot-weighted count (exp/log/div at ~8 slots) to bracket utilization.
+the VPU, not the MXU. Round 5 replaced the flat-8-slot transcendental
+bracketing with MEASURED per-op and per-bundle costs
+(tools/op_microbench.py -> ROOFLINE.json `op_costs`; load with
+`load_op_costs`) and a per-hardware-class op model
+(`whole_step_op_classes`, with `use_bundles=True` for the production
+configuration). The legacy `_op_counts`/(alu, trans) view and the
+TRANSCENDENTAL_SLOTS constant remain only for the historical RHS-kernel
+ablation records.
 
 Timing uses the chained-scalar-readback protocol from bench.py (the axon
 runtime's block_until_ready does not wait; two chain lengths cancel the
