@@ -655,15 +655,22 @@ def main():
         for b in (1 << 16, 1 << 18):
             run(f"exact-B{b}", True, 12, 4096, b)
 
-    meta = {
+    # MERGE into the existing document: ROOFLINE.json also carries
+    # op_costs, whole_step_family_records, calibration_record etc. — a
+    # fresh write here once destroyed them (recovered from git, round 5)
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            doc = json.load(f)
+    doc.update({
         "metric": "coalescence fused-kernel roofline (v5e, f32)",
         "vpu_ops_per_s": VPU_OPS_PER_S,
         "hbm_bytes_per_s": HBM_BYTES_PER_S,
         "transcendental_slots": TRANSCENDENTAL_SLOTS,
         "records": records,
-    }
+    })
     with open(args.out, "w") as f:
-        json.dump(meta, f, indent=1)
+        json.dump(doc, f, indent=1)
     print(f"wrote {args.out}", flush=True)
 
 
